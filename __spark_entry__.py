@@ -1,38 +1,524 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship point-in-time image-feature pipeline on
+sf0.001-scale synthetic data. ``queries()`` exposes every implemented operator
+from SURVEY.md §2 over the driver's parquet tables; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for each SQL-expressible one (image-pipeline and
+LSH-bucketing queries are rows-only by design — they exercise pandas-UDF
+operators with no SQL equivalent; their correctness gates live in tests/).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from video_features_spark.operators import (
+    asof_join,
+    backfill,
+    lag_lead,
+    resample,
+    sessionize,
+    sliding_stacks,
+    top_k,
+    tumbling_window_agg,
+)
+from video_features_spark.operators.asof import assert_no_leakage
+from video_features_spark.operators.features import (
+    embed_caption_column,
+    extract_image_features,
+    image_text_similarity,
+)
+from video_features_spark.sources.datagen import generate_images, generate_labels
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _order_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build side for the as-of queries: unique (user_id, o_orderdate) so the
+    as-of answer is engine-independent."""
+    return (
+        _read(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("feat_price"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+
+
+_ASOF_ORACLE = """
+    WITH feat AS (
+      SELECT o_custkey AS user_id, o_orderdate, max(o_totalprice) AS feat_price
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           f.feat_price, f.o_orderdate AS o_orderdate_asof
+    FROM events e ASOF LEFT JOIN feat f
+      ON e.user_id = f.user_id AND e.ts > f.o_orderdate
+"""
+
+
+def _q_asof(strategy: str, salt: int | None = None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        probe = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+        res = asof_join(
+            probe,
+            _order_features(spark, sf_dir),
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="o_orderdate",
+            strict=True,
+            strategy=strategy,
+            salt_threshold=salt,
+            num_salts=8,
+        )
+        return res.select("event_id", "user_id", "ts", "feat_price", "o_orderdate_asof")
+
+    return run
+
+
+def _q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return lag_lead(ev, ["user_id"], "ts", "value").select(
+        "event_id", "user_id", "ts", "value", "value_lag1", "value_lead1"
+    )
+
+
+def _q_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value", F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value"))
+    )
+    return backfill(ev, ["user_id"], "ts", ["value"]).select(
+        "event_id", "user_id", "ts", "value", "value_filled"
+    )
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return sessionize(ev, ["user_id"], "ts", 1800).select(
+        "event_id", "user_id", "ts", "session_id"
+    )
+
+
+def _q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return resample(ev, ["user_id"], "ts", 86400.0).select("user_id", "ts", "event_id")
+
+
+def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    return top_k(orders, ["o_custkey"], "o_totalprice", 5).select(
+        "o_custkey", "o_totalprice", "rank"
+    )
+
+
+def _q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    return orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def _q_sliding_stacks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return sliding_stacks(ev, ["user_id"], "ts", "value", 8, 4, "avg").select(
+        "user_id", "stack_start_idx", "stack_agg", "stack_end_ts"
+    )
+
+
+def _q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return tumbling_window_agg(
+        ev,
+        ["user_id"],
+        "ts",
+        "1 day",
+        [F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")],
+    ).select("user_id", "win_start", "n_events", "sum_value")
+
+
+def _q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _q_distinct_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_distinct_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) == F.countDistinct("l_orderkey", "l_linenumber")).alias("pk_unique"),
+    )
+
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the first (min event_id) row per (user_id, event_type)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("keep_event_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.length("text").alias("n_chars_observed"),
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "in", "and")
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(words)
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        ((F.length(F.regexp_replace(F.col("text"), r"\s+", ""))).cast("double") / n_words).alias("avg_word_len"),
+        (stop_hits.cast("double") / n_words).alias("stopword_ratio"),
+    )
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-doc stopword-list hit rates per candidate
+    language (deterministic scoring; argmax is the predicted lang)."""
+    docs = _read(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words)
+    lists = {
+        "en": ("the", "a", "and", "of"),
+        "es": ("el", "la", "de", "y"),
+        "fr": ("le", "la", "de", "et"),
+    }
+    def hit_rate(stop_list):
+        # single-arg lambda required: Spark treats a 2-arg lambda as (elem, idx)
+        return F.size(F.filter(words, lambda w: w.isin(*stop_list))).cast("double") / n
+
+    cols = [hit_rate(L).alias(f"score_{lang}") for lang, L in lists.items()]
+    return docs.select("doc_id", *cols)
+
+
+def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-style embedding post-transform (vggish_postprocess.py:51-90 semantics:
+    clip to [-2,2] → scale to [0,255] → floor): integer outputs so the check is
+    float-rounding-proof."""
+    emb = _read(spark, sf_dir, "embeddings")
+    clipped = F.transform(
+        "embedding", lambda x: F.greatest(F.least(x, F.lit(2.0)), F.lit(-2.0))
+    )
+    quant = F.transform(clipped, lambda x: F.floor((x + 2.0) * (255.0 / 4.0)).cast("long"))
+    return emb.select(
+        "vec_id",
+        F.aggregate(quant, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k neighbor search: query vecs (vec_id < 5) vs all
+    others; broadcast the small query side (ANN baseline)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x))
+    base = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    q = base.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    sims = (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "vec_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image-pipeline queries (pandas-UDF operators; rows-only driver check, full
+# correctness gates in tests/) — sized by sf for bounded runtime.
+# ---------------------------------------------------------------------------
+
+_SF_ROWS = {"sf0.001": 300, "sf0.01": 1000, "sf0.1": 4000}
+
+
+def _n_images(sf_dir: str) -> int:
+    return _SF_ROWS.get(os.path.basename(sf_dir.rstrip("/")), 1000)
+
+
+def _q_image_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _n_images(sf_dir)
+    n_ent = max(n // 50, 1)
+    imgs = generate_images(spark, n, n_entities=n_ent)
+    feats = extract_image_features(imgs, "clip-small-det")
+    labels = generate_labels(spark, n // 2, n_entities=n_ent)
+    joined = asof_join(
+        labels,
+        feats.select("entity_id", "ts", "embedding"),
+        on=["entity_id"],
+        left_ts="label_ts",
+        right_ts="ts",
+        strict=True,
+    )
+    return joined.select(
+        "entity_id",
+        "label_ts",
+        "label",
+        F.col("ts_asof"),
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x).alias("emb_sq_norm"),
+    )
+
+
+def _q_image_caption_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _n_images(sf_dir)
+    imgs = generate_images(spark, n, n_entities=max(n // 50, 1))
+    feats = extract_image_features(imgs, "clip-small-det")
+    caps = embed_caption_column(imgs.select("image_id", "caption"), "clip-small-det")
+    both = feats.join(caps, "image_id")
+    return image_text_similarity(both).select("image_id", "img_txt_sim")
+
+
+def _q_image_phash_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _n_images(sf_dir)
+    imgs = generate_images(spark, n, n_entities=max(n // 50, 1))
+    return sessionize(imgs, ["phash"], "ts", gap_seconds=3600).select(
+        "image_id", "phash", "ts", "session_id"
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synth images → decode+embed (Arrow UDF) → strict as-of join
+    against labels → leakage gate → point-in-time training rows."""
+    n, n_ent = 300, 6
+    imgs = generate_images(spark, n, n_entities=n_ent)
+    feats = extract_image_features(imgs, "clip-small-det")
+    labels = generate_labels(spark, 150, n_entities=n_ent)
+    joined = asof_join(
+        labels,
+        feats.select("entity_id", "ts", "embedding"),
+        on=["entity_id"],
+        left_ts="label_ts",
+        right_ts="ts",
+        strict=True,
+    )
+    assert_no_leakage(joined, "label_ts", "ts_asof", strict=True)
+    return joined
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "asof_window": _q_asof("window"),
+        "asof_merge": _q_asof("merge"),
+        "asof_salted": _q_asof("window", salt=8),
+        "lag_lead": _q_lag_lead,
+        "backfill": _q_backfill,
+        "sessionize": _q_sessionize,
+        "resample": _q_resample,
+        "topk_per_group": _q_topk,
+        "sort_limit": _q_sort_limit,
+        "sliding_stacks": _q_sliding_stacks,
+        "tumbling_daily": _q_tumbling_daily,
+        "stats_lineitem": _q_stats,
+        "distinct_guard": _q_distinct_guard,
+        "tpch_q1": _q_tpch_q1,
+        "dedup_exact": _q_dedup_exact,
+        "token_count": _q_token_count,
+        "text_quality": _q_text_quality,
+        "langid_scores": _q_langid,
+        "embedding_quantize": _q_embedding_quantize,
+        "cosine_topk": _q_cosine_topk,
+        "image_flagship": _q_image_flagship,
+        "image_caption_sim": _q_image_caption_sim,
+        "image_phash_sessions": _q_image_phash_sessions,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    qualify_stacks = """
+        WITH idx AS (
+          SELECT user_id, ts, value,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS i,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM events)
+        SELECT user_id, i AS stack_start_idx,
+               avg(value) OVER w AS stack_agg,
+               last_value(ts) OVER w AS stack_end_ts
+        FROM idx
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
+        QUALIFY i % 4 = 0 AND i + 8 <= n
     """
-    return {}
+    return {
+        "asof_window": _ASOF_ORACLE,
+        "asof_merge": _ASOF_ORACLE,
+        "asof_salted": _ASOF_ORACLE,
+        "lag_lead": """
+            SELECT event_id, user_id, ts, value,
+                   lag(value) OVER w AS value_lag1,
+                   lead(value) OVER w AS value_lead1
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "backfill": """
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS value,
+                   last_value(CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+            FROM events
+        """,
+        "sessionize": """
+            SELECT event_id, user_id, ts,
+                   sum(CASE WHEN prev_ts IS NULL
+                             OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                  FROM events)
+        """,
+        "resample": """
+            SELECT user_id, ts, event_id FROM (
+              SELECT user_id, ts, event_id,
+                     row_number() OVER (PARTITION BY user_id, floor(epoch(ts)/86400.0)
+                                        ORDER BY ts) AS rn
+              FROM events)
+            WHERE rn = 1
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_totalprice, rank FROM (
+              SELECT o_custkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_custkey) AS rank
+              FROM orders)
+            WHERE rank <= 5
+        """,
+        "sort_limit": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "sliding_stacks": qualify_stacks,
+        "tumbling_daily": """
+            SELECT user_id, date_trunc('day', ts) AS win_start,
+                   count(*) AS n_events, sum(value) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "stats_lineitem": """
+            SELECT min(l_quantity) AS min_qty, avg(l_quantity) AS avg_qty,
+                   max(l_quantity) AS max_qty, count(*) AS n_rows
+            FROM lineitem
+        """,
+        "distinct_guard": """
+            SELECT count(DISTINCT l_orderkey) AS n_distinct_orders,
+                   count(*) AS n_rows,
+                   count(*) = count(DISTINCT l_orderkey || '-' || l_linenumber) AS pk_unique
+            FROM lineitem
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   avg(l_quantity) AS avg_qty,
+                   avg(l_discount) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "dedup_exact": """
+            SELECT user_id, event_type, min(event_id) AS keep_event_id,
+                   count(*) AS n_dups
+            FROM events GROUP BY 1, 2
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                   length(text) AS n_chars_observed
+            FROM documents
+        """,
+        "text_quality": r"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\s+')) AS n_words,
+                   length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+                     / len(string_split_regex(trim(text), '\s+')) AS avg_word_len,
+                   len(list_filter(string_split_regex(trim(text), '\s+'),
+                                   w -> w IN ('the','a','of','in','and')))::DOUBLE
+                     / len(string_split_regex(trim(text), '\s+')) AS stopword_ratio
+            FROM documents
+        """,
+        "langid_scores": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(text), '\s+'),
+                                   w -> w IN ('the','a','and','of')))::DOUBLE
+                     / len(string_split_regex(trim(text), '\s+')) AS score_en,
+                   len(list_filter(string_split_regex(trim(text), '\s+'),
+                                   w -> w IN ('el','la','de','y')))::DOUBLE
+                     / len(string_split_regex(trim(text), '\s+')) AS score_es,
+                   len(list_filter(string_split_regex(trim(text), '\s+'),
+                                   w -> w IN ('le','la','de','et')))::DOUBLE
+                     / len(string_split_regex(trim(text), '\s+')) AS score_fr
+            FROM documents
+        """,
+        "embedding_quantize": """
+            SELECT vec_id,
+                   list_sum(list_transform(embedding,
+                       x -> floor((least(greatest(x, -2.0), 2.0) + 2.0) * (255.0/4.0))::BIGINT)) AS q_sum,
+                   len(embedding) AS dim
+            FROM embeddings
+        """,
+        "cosine_topk": """
+            WITH base AS (
+              SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding, x -> x*x))) AS nrm
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+                  FROM base WHERE vec_id < 5),
+            sims AS (
+              SELECT q.query_id, b.vec_id,
+                     list_sum(list_transform(list_zip(b.embedding, q.q_emb),
+                                             p -> p[1]*p[2])) / (b.nrm * q.q_nrm) AS cos
+              FROM base b, q WHERE b.vec_id <> q.query_id)
+            SELECT query_id, vec_id, rank FROM (
+              SELECT query_id, vec_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM sims)
+            WHERE rank <= 3
+        """,
+    }

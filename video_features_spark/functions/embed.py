@@ -1,0 +1,164 @@
+"""Deterministic embedding models (image + caption), timm-style registry.
+
+The reference resolves models by name and derives transforms from the model
+config (``/root/reference/models/timm/extract_timm.py:38-77``), caches the model
+once per process, and runs batched ``no_grad`` forwards
+(``models/_base/base_framewise_extractor.py:83-90``). This module mirrors that
+surface with *deterministic seeded* encoders: torch/timm/CLIP weights are not
+available in this container, so each named model is a seeded random projection
+with a fixed preprocessing config. The Spark-side plumbing — registry by name,
+per-executor model cache, Arrow-batched forward, L2-normalized float32 output of
+the model's advertised dim (CLIP 512, ``docs/models/clip.md:11``; ResNet50 2048,
+``docs/models/resnet.md:11``) — is real and identical to what a torch-backed
+model would use; swapping in real weights is a one-function change
+(``_load_weights``).
+
+Determinism contract: same (model, bytes) → bit-identical embedding on any
+executor, any partitioning, any batch split — reductions are per-row float32
+matmuls, never cross-row.
+"""
+
+from __future__ import annotations
+
+import html
+import re
+import zlib
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .preprocess import clip_preprocess
+
+_POOL = 8  # pooled grid per channel → 8*8*3 = 192 input features
+_FEAT_IN = _POOL * _POOL * 3
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    name: str
+    dim: int
+    input_size: int
+    seed: int = field(init=False, default=0)
+
+    def __post_init__(self):
+        object.__setattr__(self, "seed", zlib.crc32(self.name.encode()) & 0x7FFFFFFF)
+
+
+# registry of named models (timm-style string dispatch; extract_timm.py:38-52)
+MODEL_REGISTRY: dict[str, ModelSpec] = {
+    s.name: s
+    for s in [
+        ModelSpec("clip-vit-b32-det", dim=512, input_size=224),
+        ModelSpec("clip-small-det", dim=512, input_size=32),  # sandbox-scale twin
+        ModelSpec("resnet50-det", dim=2048, input_size=224),
+        ModelSpec("resnet50-small-det", dim=2048, input_size=32),
+        ModelSpec("timm-tiny-det", dim=192, input_size=32),
+    ]
+}
+
+# per-executor-process model cache — the Spark analog of the reference's
+# load-once-per-process model singleton (extract_clip.py:43-69)
+_CACHE: dict[str, tuple[ModelSpec, np.ndarray, np.ndarray]] = {}
+
+
+def _load_weights(spec: ModelSpec) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded deterministic weights. Real deployment: replace with a torch
+    checkpoint fetched via SparkFiles/broadcast (reference SHA256-verifies its
+    downloads, clip_src/clip.py:45-74)."""
+    rng = np.random.default_rng(spec.seed)
+    w_img = rng.standard_normal((spec.dim, _FEAT_IN)).astype(np.float32) / np.sqrt(_FEAT_IN)
+    w_txt = rng.standard_normal((spec.dim, 512)).astype(np.float32) / np.sqrt(512)
+    return w_img, w_txt
+
+
+def get_model(name: str) -> tuple[ModelSpec, np.ndarray, np.ndarray]:
+    if name not in _CACHE:
+        if name not in MODEL_REGISTRY:
+            raise KeyError(f"unknown model {name!r}; registry: {sorted(MODEL_REGISTRY)}")
+        spec = MODEL_REGISTRY[name]
+        _CACHE[name] = (spec, *_load_weights(spec))
+    return _CACHE[name]
+
+
+def _pool(batch: np.ndarray) -> np.ndarray:
+    """B×S×S×3 → B×(_POOL²·3) mean-pooled features (S divisible by _POOL or not —
+    integral pooling over equal index ranges)."""
+    b, s, _, _ = batch.shape
+    edges = (np.arange(_POOL + 1) * s // _POOL).astype(int)
+    out = np.empty((b, _POOL, _POOL, 3), np.float32)
+    for i in range(_POOL):
+        for j in range(_POOL):
+            out[:, i, j] = batch[:, edges[i]:edges[i + 1], edges[j]:edges[j + 1]].mean(axis=(1, 2))
+    return out.reshape(b, -1)
+
+
+def embed_pixels(batch: np.ndarray, model_name: str) -> np.ndarray:
+    """B×S×S×3 preprocessed float32 → B×D L2-normalized float32 embeddings."""
+    spec, w_img, _ = get_model(model_name)
+    feats = _pool(batch.astype(np.float32))
+    emb = np.tanh(feats @ w_img.T)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    return (emb / np.maximum(norms, 1e-12)).astype(np.float32)
+
+
+def preprocess_and_embed(images: list[np.ndarray], model_name: str) -> np.ndarray:
+    """Decode-side entry: raw uint8 H×W×3 images (mixed sizes) → embeddings.
+    Preprocess per the model's input_size (CLIP chain), then batch-forward."""
+    spec, _, _ = get_model(model_name)
+    pre = np.stack([clip_preprocess(im, spec.input_size) for im in images])
+    return embed_pixels(pre, model_name)
+
+
+# ---------------------------------------------------------------------------
+# Caption-side encoder (CLIP text-tower analog)
+# ---------------------------------------------------------------------------
+
+_WORD_RE = re.compile(r"[a-z0-9]+|[^\sa-z0-9]", re.UNICODE)
+
+
+def clean_caption(text: str) -> str:
+    """Text cleanup with the reference tokenizer's semantics
+    (simple_tokenizer.py:50-59: ftfy fix → html unescape ×2 → strip; :123 adds
+    lowercase + whitespace collapse). ftfy is unavailable → unicode NFC instead."""
+    import unicodedata
+
+    t = unicodedata.normalize("NFC", text)
+    t = html.unescape(html.unescape(t))
+    t = re.sub(r"\s+", " ", t).strip().lower()
+    return t
+
+
+def _hash_token(tok: str) -> int:
+    return zlib.crc32(tok.encode("utf-8")) % 512
+
+
+def embed_captions(texts: list[str | None], model_name: str) -> np.ndarray:
+    """Hashed unigram+bigram bag → seeded projection → L2 norm. Nulls → zero
+    vector (backfill upstream is the supported repair path)."""
+    _, _, w_txt = get_model(model_name)
+    dim = w_txt.shape[0]
+    out = np.zeros((len(texts), dim), np.float32)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = _WORD_RE.findall(clean_caption(t))
+        if not toks:
+            continue
+        bag = np.zeros(512, np.float32)
+        for j, tok in enumerate(toks):
+            bag[_hash_token(tok)] += 1.0
+            if j + 1 < len(toks):
+                bag[_hash_token(tok + "§" + toks[j + 1])] += 0.5
+        emb = np.tanh(w_txt @ bag)
+        n = np.linalg.norm(emb)
+        if n > 0:
+            out[i] = emb / n
+    return out
+
+
+def token_count(text: str | None) -> int:
+    """Whitespace+punctuation token count with the cleanup applied (BPE-ish
+    proxy; the reference's real BPE is simple_tokenizer.py:62-127)."""
+    if not text:
+        return 0
+    return len(_WORD_RE.findall(clean_caption(text)))

@@ -1,0 +1,111 @@
+"""Vectorized image preprocessing kernels (numpy), CLIP-transform semantics.
+
+Re-implements the reference's transform pipeline as batch numpy ops used inside
+pandas UDFs:
+- ``resize``: smaller-edge scaling with bilinear or Catmull-Rom bicubic kernels
+  and area-averaging antialias on downscale — semantics of
+  ``models/transforms.py:76-96`` (``Resize``) / ``:191-242`` (``ResizeImproved``)
+  in the reference.
+- ``center_crop``: ``models/transforms.py:11-21,68-73``.
+- ``normalize``: ``models/transforms.py:38-42,104-110``.
+- ``clip_preprocess``: the canonical CLIP chain — Resize(BICUBIC, smaller edge)
+  → CenterCrop → scale to [0,1] → Normalize(CLIP mean/std) — constants from
+  ``/root/reference/models/clip/extract_clip.py:71-78`` (canonical copy at
+  ``clip_src/clip.py:81-88``). These constants are part of the correctness
+  contract; fixtures pin the output.
+
+The interpolation kernel is pinned here (pure numpy) because the container has
+no PIL; fixture generation and UDF execution share this single implementation,
+so ``numpy.allclose`` holds regardless of Spark parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# CLIP normalization constants (reference extract_clip.py:76-77)
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
+
+
+def _kernel_weights(n_in: int, n_out: int, kind: str) -> np.ndarray:
+    """Dense (n_out, n_in) resampling matrix: separable kernel with scale-widened
+    support on downscale (antialias), edge-clamped, rows normalized to 1."""
+    scale = n_in / n_out
+    support = {"bilinear": 1.0, "bicubic": 2.0}[kind]
+    width = support * max(scale, 1.0)
+    centers = (np.arange(n_out) + 0.5) * scale - 0.5
+    lo = np.floor(centers - width).astype(int)
+    hi = np.ceil(centers + width).astype(int)
+    mat = np.zeros((n_out, n_in), dtype=np.float64)
+    for i in range(n_out):
+        idx = np.arange(lo[i], hi[i] + 1)
+        x = (idx - centers[i]) / max(scale, 1.0)
+        if kind == "bilinear":
+            wgt = np.maximum(0.0, 1.0 - np.abs(x))
+        else:  # Catmull-Rom bicubic (Keys, a=-0.5)
+            ax = np.abs(x)
+            a = -0.5
+            wgt = np.where(
+                ax <= 1,
+                (a + 2) * ax**3 - (a + 3) * ax**2 + 1,
+                np.where(ax < 2, a * ax**3 - 5 * a * ax**2 + 8 * a * ax - 4 * a, 0.0),
+            )
+        idx = np.clip(idx, 0, n_in - 1)  # clamp-to-edge
+        s = wgt.sum()
+        if s != 0:
+            wgt = wgt / s
+        np.add.at(mat[i], idx, wgt)
+    return mat.astype(np.float32)
+
+
+def resize(
+    arr: np.ndarray,
+    size: int,
+    kind: str = "bicubic",
+    smaller_edge: bool = True,
+) -> np.ndarray:
+    """Resize H×W×3 so the smaller edge equals ``size`` (aspect preserved), or
+    to ``size``×``size`` when ``smaller_edge=False``. Returns float32."""
+    h, w = arr.shape[:2]
+    if smaller_edge:
+        if h <= w:
+            nh, nw = size, max(1, round(w * size / h))
+        else:
+            nh, nw = max(1, round(h * size / w)), size
+    else:
+        nh = nw = size
+    a = arr.astype(np.float32)
+    if nh != h:
+        a = np.einsum("oh,hwc->owc", _kernel_weights(h, nh, kind), a)
+    if nw != w:
+        a = np.einsum("ow,hwc->hoc", _kernel_weights(w, nw, kind), a)
+    return a
+
+
+def center_crop(arr: np.ndarray, size: int) -> np.ndarray:
+    """Centered ``size``×``size`` crop (pads by edge-replication if smaller —
+    the reference asserts inputs are large enough; we stay total)."""
+    h, w = arr.shape[:2]
+    if h < size or w < size:
+        ph, pw = max(0, size - h), max(0, size - w)
+        arr = np.pad(
+            arr,
+            ((ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0)),
+            mode="edge",
+        )
+        h, w = arr.shape[:2]
+    i, j = (h - size) // 2, (w - size) // 2
+    return arr[i : i + size, j : j + size]
+
+
+def normalize(arr: np.ndarray, mean: np.ndarray = CLIP_MEAN, std: np.ndarray = CLIP_STD) -> np.ndarray:
+    return (arr - mean.reshape(1, 1, 3)) / std.reshape(1, 1, 3)
+
+
+def clip_preprocess(arr: np.ndarray, size: int = 224) -> np.ndarray:
+    """CLIP preprocessing chain → float32 ``size×size×3`` normalized tensor."""
+    a = resize(arr, size, kind="bicubic", smaller_edge=True)
+    a = center_crop(a, size)
+    a = a / np.float32(255.0)
+    return normalize(a).astype(np.float32)

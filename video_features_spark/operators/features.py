@@ -1,0 +1,131 @@
+"""Image → embedding feature extraction as Arrow-batched Spark operators.
+
+The Spark form of the reference's extraction loop
+(``/root/reference/models/_base/base_framewise_extractor.py:47-93``: scan →
+transform → batched no_grad forward → accumulate → sink), collapsed into ONE
+``mapInPandas`` pass per image: decode (S2) + preprocess (P5) + embed (UDF
+surface §2.7) inside a single Arrow batch, so pixels never cross the JVM↔Python
+boundary twice and never shuffle.
+
+Error isolation follows the reference's intent but per-row instead of per-file
+(``base_extractor.py:29-53`` prints a traceback and skips the whole video): a
+bad payload yields ``error`` text and a null embedding; the job never dies and
+bad rows are queryable (quarantine pattern).
+
+Scale notes: input partitions carry ~(maxRecordsPerBatch × avg_image_bytes);
+`spark.sql.files.maxPartitionBytes` (session.py) keeps tasks bounded. The
+operator is embarrassingly parallel — no shuffle, no skew surface; WSCG covers
+everything around the Python stage, and column pruning means only (id cols +
+bytes [+ caption]) are read from the scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, FloatType, IntegerType
+
+from ..functions.codec import decode_image, psnr
+from ..functions.embed import embed_captions, get_model, preprocess_and_embed, token_count
+
+
+def extract_image_features(
+    df: DataFrame,
+    model_name: str = "clip-small-det",
+    id_cols: Sequence[str] = ("image_id", "entity_id", "ts"),
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    check_psnr: bool = False,
+) -> DataFrame:
+    """(id cols, bytes, fmt) → (id cols, embedding array<float>, error string).
+
+    ``check_psnr=True`` additionally re-encodes losslessly and verifies the
+    decode invariant (PSNR ≥ 40 dB for lossy payloads — input_hint contract);
+    meant for audit runs, not the hot path.
+    """
+    get_model(model_name)  # fail fast on the driver for unknown names
+    id_cols = list(id_cols)
+    cols = id_cols + [bytes_col, fmt_col]
+    schema_id = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in id_cols)
+    out_schema = f"{schema_id}, embedding array<float>, error string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            n = len(b)
+            errors: list[str | None] = [None] * n
+            images: list[np.ndarray | None] = [None] * n
+            for i in range(n):
+                try:
+                    img = decode_image(bytes(b[bytes_col].iloc[i]), b[fmt_col].iloc[i])
+                    if check_psnr and b[fmt_col].iloc[i] != "png":
+                        # lossy invariant: decode(encode(decode(x))) within 40dB
+                        from ..functions.codec import decode_qjpg, encode_qjpg
+
+                        rt = decode_qjpg(encode_qjpg(img))
+                        if psnr(img, rt) < 40.0:
+                            raise ValueError("PSNR < 40dB on lossy roundtrip")
+                    images[i] = img
+                except Exception as e:  # noqa: BLE001 - quarantine, don't die
+                    errors[i] = f"{type(e).__name__}: {e}"
+            ok_idx = [i for i in range(n) if images[i] is not None]
+            emb_col: list[list[float] | None] = [None] * n
+            if ok_idx:
+                embs = preprocess_and_embed([images[i] for i in ok_idx], model_name)
+                for j, i in enumerate(ok_idx):
+                    emb_col[i] = embs[j].tolist()
+            out = b[id_cols].copy()
+            out["embedding"] = emb_col
+            out["error"] = errors
+            yield out
+
+    return df.select(*cols).mapInPandas(run, schema=out_schema)
+
+
+def embed_caption_column(
+    df: DataFrame,
+    model_name: str = "clip-small-det",
+    caption_col: str = "caption",
+    out_col: str = "caption_embedding",
+) -> DataFrame:
+    """Caption → L2-normalized embedding (CLIP text-tower analog,
+    clip_src/model.py:343-356), as a scalar Arrow-batched pandas UDF."""
+    get_model(model_name)
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        embs = embed_captions(texts.tolist(), model_name)
+        return pd.Series([e.tolist() for e in embs])
+
+    return df.withColumn(out_col, _embed(F.col(caption_col)))
+
+
+def caption_token_count(df: DataFrame, caption_col: str = "caption", out_col: str = "n_tokens") -> DataFrame:
+    """Token counting over captions (BPE-ish regex after cleanup)."""
+
+    @F.pandas_udf(IntegerType())
+    def _count(texts: pd.Series) -> pd.Series:
+        return texts.map(token_count).astype("int32")
+
+    return df.withColumn(out_col, _count(F.col(caption_col)))
+
+
+def image_text_similarity(
+    df: DataFrame,
+    img_col: str = "embedding",
+    txt_col: str = "caption_embedding",
+    out_col: str = "img_txt_sim",
+    logit_scale: float = 100.0,
+) -> DataFrame:
+    """Per-row image×caption cosine logits — the reference's CLIP zero-shot
+    matmul (``extract_clip.py:86-108``, logit_scale * v @ t.T) degenerates to a
+    same-row dot product in our keyed data model (SURVEY.md J2). Pure JVM:
+    ``F.zip_with`` + ``F.aggregate``, no Python."""
+    dot = F.aggregate(
+        F.zip_with(F.col(img_col), F.col(txt_col), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn(out_col, (F.lit(logit_scale) * dot).cast("float"))

@@ -1,0 +1,158 @@
+"""Deterministic, distributed synthetic image+caption table generator.
+
+Produces the BASELINE.json ``input_hint`` table
+``(image_id string, bytes binary, w int, h int, fmt string, caption string,
+phash long)`` plus the temporal columns the north rule needs
+(``entity_id string, ts timestamp``), and a matching ``labels`` probe table.
+
+Every row is a pure function of ``(seed, row_id)`` — generation happens inside
+``mapInPandas`` over ``spark.range(n)``, so it parallelizes to any cluster size
+with zero driver data movement and is bit-identical at any partitioning (the
+sandbox stand-in for "read an Iceberg snapshot of 10^12 rows").
+
+Skew is built in deliberately: images derive from a small set of base patterns
+chosen with a heavy-tailed distribution and perturbed with low-amplitude noise,
+so ``phash`` (computed for real from the pixels) has hot buckets covering ~30%
+of rows — this forces the salting path of the as-of join and makes
+phash-sessionization non-trivial (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import html
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.codec import encode_image
+from ..functions.phash import average_hash
+
+SEED = 42
+_N_BASES = 16
+_SIZES_W = np.array([32, 48, 64, 97])  # non-multiple-of-8 included (FIXTURES.md)
+_SIZES_H = np.array([32, 48, 64, 101])
+_EPOCH = pd.Timestamp("2024-01-01")
+_WORDS = (
+    "orange cat sits on a warm windowsill sunset over mountains blue bicycle "
+    "leaning against brick wall children playing football in the rain vintage "
+    "car parked near café fresh bread on wooden table lighthouse storm waves "
+    "garden tulips naïve café résumé emoji 🌊 🐈"
+).split()
+_HTML_BITS = ["&amp;", "&lt;3", "&quot;hi&quot;"]
+
+IMAGES_SCHEMA = (
+    "image_id string, entity_id string, ts timestamp, bytes binary, "
+    "w int, h int, fmt string, caption string, phash long"
+)
+LABELS_SCHEMA = "entity_id string, label_ts timestamp, label double"
+
+
+def _base_pattern(base_idx: int, h: int, w: int) -> np.ndarray:
+    """Deterministic structured pattern per base index (gradients + waves),
+    stable across sizes so near-dups of one base share a phash."""
+    rng = np.random.default_rng(1_000_003 * (base_idx + 1))
+    fx, fy, ph = rng.uniform(1, 4, 3)
+    amp = rng.uniform(60, 100)
+    yy, xx = np.mgrid[0:h, 0:w]
+    yn, xn = yy / max(h - 1, 1), xx / max(w - 1, 1)
+    chans = []
+    for c in range(3):
+        off = rng.uniform(0, 2 * np.pi)
+        img = 120 + amp * np.sin(2 * np.pi * (fx * xn + fy * yn * (c + 1) / 2) + ph + off) \
+            + 40 * (xn - yn)
+        chans.append(img)
+    return np.clip(np.stack(chans, axis=-1), 0, 255).astype(np.uint8)
+
+
+def _row(seed: int, rid: int, n_entities: int, caption_null_rate: float) -> tuple:
+    rng = np.random.default_rng((seed << 34) ^ rid)
+    entity = rid % n_entities
+    seq = rid // n_entities
+    ts = _EPOCH + pd.Timedelta(seconds=seq * 600 + int(rng.integers(0, 300)))
+    # heavy-tailed base choice: bases 0/1 are hot (~30% of rows together)
+    u = rng.random()
+    base = 0 if u < 0.18 else 1 if u < 0.30 else int(rng.integers(2, _N_BASES))
+    w = int(_SIZES_W[rng.integers(0, len(_SIZES_W))])
+    h = int(_SIZES_H[rng.integers(0, len(_SIZES_H))])
+    pix = _base_pattern(base, h, w).astype(np.int16)
+    noise = rng.integers(-3, 4, size=pix.shape, dtype=np.int16)
+    pix = np.clip(pix + noise, 0, 255).astype(np.uint8)
+    fmt = "png" if rng.random() < 0.8 else "jpeg"
+    data = encode_image(pix, fmt)
+    ph = average_hash(pix)
+    if rng.random() < caption_null_rate:
+        caption = None
+    else:
+        k = int(rng.integers(3, 9))
+        toks = [str(_WORDS[i]) for i in rng.integers(0, len(_WORDS), k)]
+        if rng.random() < 0.15:
+            toks.append(_HTML_BITS[int(rng.integers(0, len(_HTML_BITS)))])
+        caption = " ".join(toks)
+    return (f"img{rid:010d}", f"e{entity:05d}", ts, bytearray(data), w, h, fmt, caption, ph)
+
+
+def generate_images(
+    spark: SparkSession,
+    n_rows: int,
+    n_entities: int | None = None,
+    seed: int = SEED,
+    caption_null_rate: float = 0.10,
+    partitions: int | None = None,
+) -> DataFrame:
+    """The synthetic `images` table, distributed and deterministic."""
+    n_entities = n_entities or max(n_rows // 50, 1)
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = [_row(seed, int(rid), n_entities, caption_null_rate) for rid in b["id"]]
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "entity_id", "ts", "bytes", "w", "h", "fmt", "caption", "phash"],
+            )
+
+    return (
+        spark.range(n_rows, numPartitions=partitions)
+        .mapInPandas(gen, schema=IMAGES_SCHEMA)
+    )
+
+
+def generate_labels(
+    spark: SparkSession,
+    n_rows: int,
+    n_entities: int | None = None,
+    images_per_entity: int | None = None,
+    seed: int = SEED,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Label probes: (entity_id, label_ts, label). label_ts spans
+    before-first / between / exactly-on / after-last feature timestamps so the
+    strict `<` (leakage-free) tie semantics are pinned by data (FIXTURES.md §2)."""
+    n_entities = n_entities or max(n_rows // 50, 1)
+    images_per_entity = images_per_entity or 50
+    span = images_per_entity * 600
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for rid in b["id"]:
+                rng = np.random.default_rng((seed << 35) ^ (int(rid) + 7))
+                entity = int(rng.integers(0, int(n_entities * 1.05)))  # ~5% absent entities
+                u = rng.random()
+                if u < 0.05:
+                    secs = -int(rng.integers(1, 3600))  # before first feature
+                elif u < 0.15:
+                    # exactly on a feature timestamp bucket boundary (tie probe)
+                    secs = int(rng.integers(0, images_per_entity)) * 600
+                else:
+                    secs = int(rng.integers(0, span + 3600))
+                out.append(
+                    (f"e{entity:05d}", _EPOCH + pd.Timedelta(seconds=secs), float(rng.random()))
+                )
+            yield pd.DataFrame(out, columns=["entity_id", "label_ts", "label"])
+
+    return spark.range(n_rows, numPartitions=partitions or spark.sparkContext.defaultParallelism).mapInPandas(
+        gen, schema=LABELS_SCHEMA
+    )
