@@ -1,0 +1,152 @@
+"""Single-parallelism bench worker: runs the flagship image pipeline and the
+headline queries at a given core count, prints one JSON line. Invoked as a
+subprocess by bench.py (a local[N] master can't change inside one JVM).
+
+Modes
+-----
+--prepare       : materialize the deterministic synthetic images+labels tables
+                  to parquet (the "Iceberg snapshot" stand-in) — untimed setup.
+--cores N       : timed run. Pipeline = parquet scan → decode+embed (one
+                  mapInPandas pass) → strict as-of join vs labels → full
+                  materialization (noop write). Two timed repetitions after a
+                  pipeline warmup; best time reported (steady-state throughput,
+                  the quantity that scales with executors).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+# parallelism must come from Spark tasks, not BLAS threads
+for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(var, "1")
+
+BENCH_DIR = os.environ.get("BENCH_DATA_DIR", "/tmp/spark_graft_bench")
+
+
+def materialize(df) -> None:
+    """Force full computation of every column (count() alone can let Catalyst
+    skip projected work)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def img_path(n: int) -> str:
+    return os.path.join(BENCH_DIR, f"images_{n}")
+
+
+def lbl_path(n: int) -> str:
+    return os.path.join(BENCH_DIR, f"labels_{n}")
+
+
+def prepare(n: int) -> None:
+    from video_features_spark.session import get_spark
+    from video_features_spark.sources.datagen import generate_images, generate_labels
+
+    spark = get_spark(app_name="bench-prepare")
+    spark.sparkContext.setLogLevel("ERROR")
+    n_ent = max(n // 50, 1)
+    if not os.path.exists(img_path(n)):
+        generate_images(spark, n, n_entities=n_ent, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(img_path(n))
+    if not os.path.exists(lbl_path(n)):
+        generate_labels(spark, n // 2, n_entities=n_ent, partitions=32).write.mode(
+            "overwrite"
+        ).parquet(lbl_path(n))
+    spark.stop()
+    print("BENCH_JSON:" + json.dumps({"prepared": n}))
+
+
+def timed_run(args) -> None:
+    from pyspark.sql import functions as F
+
+    from video_features_spark.operators import asof_join
+    from video_features_spark.operators.features import extract_image_features
+    from video_features_spark.session import get_spark
+
+    # CPU-heavy decode+embed UDF over ~25 KB rows: smaller input splits keep
+    # every core fed (128 MB default → too few tasks for the core count)
+    spark = get_spark(
+        app_name=f"bench-{args.cores}",
+        cores=args.cores,
+        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n = args.images
+    imgs = spark.read.parquet(img_path(n))
+    labels = spark.read.parquet(lbl_path(n))
+
+    def pipeline():
+        feats = extract_image_features(imgs, "clip-small-det")
+        return asof_join(
+            labels,
+            feats.select("entity_id", "ts", "embedding"),
+            on=["entity_id"],
+            left_ts="label_ts",
+            right_ts="ts",
+            strict=True,
+        )
+
+    # generic + pipeline warmup: fork/import the python workers, JIT the JVM
+    _warm = F.pandas_udf(lambda s: s, "long")
+    materialize(spark.range(100_000, numPartitions=args.cores * 4).select(_warm("id")))
+    materialize(pipeline())
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        materialize(pipeline())
+        times.append(time.time() - t0)
+    e2e = min(times)
+
+    out = {
+        "cores": args.cores,
+        "images": n,
+        "e2e_sec": round(e2e, 3),
+        "images_per_sec": round(n / e2e, 2),
+    }
+
+    if args.queries:
+        import __spark_entry__ as entrymod
+
+        qtimes = {}
+        qs = entrymod.queries()
+        headline = [
+            "asof_window", "asof_merge", "asof_salted", "lag_lead", "backfill",
+            "sessionize", "resample", "topk_per_group", "sliding_stacks",
+            "tumbling_daily", "tpch_q1", "dedup_exact", "cosine_topk",
+            "token_count", "embedding_quantize",
+        ]
+        for name in headline:
+            t0 = time.time()
+            materialize(qs[name](spark, args.sf_dir))
+            qtimes[name] = round(time.time() - t0, 3)
+        out["queries"] = qtimes
+
+    spark.stop()
+    print("BENCH_JSON:" + json.dumps(out))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=0)
+    ap.add_argument("--images", type=int, default=20000)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--queries", action="store_true")
+    ap.add_argument("--prepare", action="store_true")
+    args = ap.parse_args()
+    if args.prepare:
+        prepare(args.images)
+    else:
+        timed_run(args)
+
+
+if __name__ == "__main__":
+    main()

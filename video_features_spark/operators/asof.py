@@ -20,12 +20,15 @@ Two physical strategies
     end-to-end, streaming window frame (O(1) state per row). This is the shape
     that survives 100 TB: sort-merge within range partitions, no N×M blowup.
 
-``merge`` (cogrouped sort-merge, the north rule's named mechanism):
-    ``repartitionByRange(entity, ts)`` + ``sortWithinPartitions`` on each side,
-    then ``groupby(entity).cogroup(...).applyInPandas(pd.merge_asof)`` with
-    ``allow_exact_matches = not strict``. Arrow-vectorized; holds one entity's
-    rows in memory per call — use when per-entity payloads are heavy (e.g.
-    embedding arrays) and you want pandas-side control.
+``merge`` (bucketed cogrouped sort-merge):
+    hash keys into ~2×parallelism buckets, cogroup on the bucket, and run
+    ``pd.merge_asof(by=keys, allow_exact_matches=not strict)`` per bucket —
+    the per-key backward merge happens in C, one Arrow exchange per bucket
+    instead of one per key. Both strategies are sort-merge joins: the window
+    strategy's physical plan is hash-partition → sort-within-partitions →
+    streaming frame (Spark's Window operator), i.e. the same shape the north
+    rule names, executed entirely in the JVM. Use ``merge`` when downstream
+    pandas-side feature logic should ride along in the same pass.
 
 Skew
 ----
@@ -171,46 +174,61 @@ def _asof_window(
 def _asof_merge(
     left, right, on, left_ts, right_ts, right_cols, strict, salt_threshold, num_salts
 ):
+    """Bucketed cogrouped sort-merge: hash the (salted) key into ~2×parallelism
+    buckets, cogroup on the BUCKET (not the raw key — one Python/Arrow call per
+    key would dominate at high key cardinality), sort each side inside pandas,
+    and let ``pd.merge_asof(by=keys)`` run the per-key backward merge in C.
+    Requires non-null join keys on the probe side (merge_asof ``by`` contract);
+    use the window strategy when probes may carry null keys."""
     left, right, keys = _with_salt(left, right, on, salt_threshold, num_salts)
     asof_ts = f"{right_ts}_asof"
-    lsel = left
+    nbuckets = max(2 * left.sparkSession.sparkContext.defaultParallelism, 16)
+    bucket = F.pmod(F.xxhash64(*keys), F.lit(nbuckets)).alias("__bucket")
+    lsel = left.select("*", bucket)
     rsel = right.select(
         *keys,
         F.col(right_ts).cast("timestamp").alias("__rts"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-    ).withColumn(asof_ts, F.col("__rts"))
+        bucket,
+    )
 
-    # North-rule mechanism: range-partition by (entity, ts) and sort within
-    # partitions before the cogrouped merge. The cogroup re-keys by entity, but
-    # the range pass bounds skew ahead of it and keeps per-group input sorted.
-    npart = max(left.sparkSession.sparkContext.defaultParallelism, 8)
-    lsel = lsel.repartitionByRange(npart, *keys, left_ts).sortWithinPartitions(*keys, left_ts)
-    rsel = rsel.repartitionByRange(npart, *keys, "__rts").sortWithinPartitions(*keys, "__rts")
-
-    out_fields = [f"`{c}` {lsel.schema[c].dataType.simpleString()}" for c in lsel.columns if c != _SALT]
+    out_fields = [
+        f"`{c}` {lsel.schema[c].dataType.simpleString()}"
+        for c in lsel.columns
+        if c not in (_SALT, "__bucket")
+    ]
     out_fields += [f"`{c}` {right.schema[c].dataType.simpleString()}" for c in right_cols]
     out_fields += [f"`{asof_ts}` timestamp"]
     schema = ", ".join(out_fields)
-    lcols = [c for c in lsel.columns if c != _SALT]
+    lcols = [c for c in lsel.columns if c not in (_SALT, "__bucket")]
+    rename = {f"__r_{c}": c for c in right_cols}
     allow_exact = not strict
+    by = list(keys)
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if lpdf.empty:
             return pd.DataFrame(columns=lcols + right_cols + [asof_ts])
         lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        if rpdf.empty:
+            merged = lpdf.copy()
+            for c in right_cols:
+                merged[c] = None
+            merged[asof_ts] = pd.NaT
+            return merged[lcols + right_cols + [asof_ts]]
         rpdf = rpdf.sort_values("__rts", kind="mergesort")
+        rpdf[asof_ts] = rpdf["__rts"]
         merged = pd.merge_asof(
             lpdf,
-            rpdf[["__rts", asof_ts] + [f"__r_{c}" for c in right_cols]],
+            rpdf[by + ["__rts", asof_ts] + list(rename)],
             left_on=left_ts,
             right_on="__rts",
+            by=by,
             direction="backward",
             allow_exact_matches=allow_exact,
-        )
-        merged = merged.rename(columns={f"__r_{c}": c for c in right_cols})
+        ).rename(columns=rename)
         return merged[lcols + right_cols + [asof_ts]]
 
-    grouped = lsel.groupBy(*keys).cogroup(rsel.groupBy(*keys))
+    grouped = lsel.groupBy("__bucket").cogroup(rsel.groupBy("__bucket"))
     return grouped.applyInPandas(merge, schema=schema)
 
 
