@@ -26,6 +26,16 @@ from video_features_spark.operators import (
     tumbling_window_agg,
 )
 from video_features_spark.operators.asof import assert_no_leakage
+from video_features_spark.operators.dedup import (
+    _hash_params,
+    embedding_near_dup,
+    jaccard_pairs,
+    minhash_dedup,
+    minhash_signatures,
+    simhash_signatures,
+)
+from video_features_spark.operators.similarity import cosine_topk as ann_cosine_topk
+from video_features_spark.operators.similarity import lsh_ann_topk
 from video_features_spark.operators.features import (
     embed_caption_column,
     extract_image_features,
@@ -272,6 +282,105 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup / similarity queries (SURVEY.md training-data-pipeline extras)
+# ---------------------------------------------------------------------------
+
+_MH_N = 8  # hashes exposed through the oracle-checked query
+_SHINGLE_N = 5
+
+
+def _q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", _MH_N, _SHINGLE_N
+    )
+    return sigs.select(
+        "doc_id", *[F.col("minhash")[i].alias(f"m{i}") for i in range(_MH_N)]
+    )
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", n=_SHINGLE_N, threshold=0.5
+    )
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup(_read(spark, sf_dir, "embeddings"), "vec_id", threshold=0.4)
+
+
+def _q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash→LSH→verify chain (rows-only: banding uses xxhash64, which
+    DuckDB lacks; recall-vs-exact is gated in tests/test_dedup.py)."""
+    return minhash_dedup(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        n_hashes=32, bands=8, shingle_n=_SHINGLE_N, threshold=0.5,
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (rows-only: xxhash64 is engine-specific)."""
+    return simhash_signatures(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (rows-only; recall vs the oracle-checked
+    brute-force cosine_topk is gated in tests)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk(emb, q, k=5, dim=64, n_planes=2, n_tables=4).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+def _minhash_oracle() -> str:
+    shingles = (
+        "SELECT doc_id, unnest(list_distinct(list_transform("
+        f"range(1, greatest(length(text)-{_SHINGLE_N}+1, 1)+1), "
+        f"i -> substr(text, i::INT, {_SHINGLE_N})))) AS s FROM documents"
+    )
+    mins = ", ".join(
+        f"min(({a}*h + {b}) % 4294967311) AS m{i}"
+        for i, (a, b) in enumerate(_hash_params(_MH_N))
+    )
+    return (
+        f"WITH sh AS (SELECT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT AS h FROM ({shingles})) "
+        f"SELECT doc_id, {mins} FROM sh GROUP BY doc_id"
+    )
+
+
+_JACCARD_ORACLE = f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT AS h
+      FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(length(text)-{_SHINGLE_N}+1, 1)+1),
+              i -> substr(text, i::INT, {_SHINGLE_N})))) AS s FROM documents)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+"""
+
+_EMB_NEAR_DUP_ORACLE = """
+    WITH base AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> x*x))) AS nrm
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                   p -> p[1]*p[2])) / (a.nrm * b.nrm) AS cos
+    FROM base a JOIN base b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                  p -> p[1]*p[2])) / (a.nrm * b.nrm) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
 # Image-pipeline queries (pandas-UDF operators; rows-only driver check, full
 # correctness gates in tests/) — sized by sf for bounded runtime.
 # ---------------------------------------------------------------------------
@@ -364,6 +473,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_scores": _q_langid,
         "embedding_quantize": _q_embedding_quantize,
         "cosine_topk": _q_cosine_topk,
+        "minhash_sigs": _q_minhash_sigs,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "minhash_lsh_dedup": _q_minhash_lsh_dedup,
+        "simhash_sigs": _q_simhash,
+        "ann_lsh_topk": _q_ann_lsh,
         "image_flagship": _q_image_flagship,
         "image_caption_sim": _q_image_caption_sim,
         "image_phash_sessions": _q_image_phash_sessions,
@@ -502,6 +617,9 @@ def oracle_sql() -> dict[str, str]:
                    len(embedding) AS dim
             FROM embeddings
         """,
+        "minhash_sigs": _minhash_oracle(),
+        "ngram_jaccard": _JACCARD_ORACLE,
+        "embedding_near_dup": _EMB_NEAR_DUP_ORACLE,
         "cosine_topk": """
             WITH base AS (
               SELECT vec_id, embedding,

@@ -1,0 +1,124 @@
+"""Dedup + similarity operator gates: exact-Jaccard vs DuckDB, MinHash-LSH
+recall vs exact, SimHash hamming on injected near-dups, ANN recall vs
+brute force."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.utils import assert_frames_match
+from video_features_spark.operators.dedup import (
+    embedding_near_dup,
+    hamming64_col,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_signatures,
+    simhash_signatures,
+)
+from video_features_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    """documents + 5 injected near-duplicates (id + 100000)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dups = docs.limit(5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" extra token")).alias("text"),
+    )
+    df = docs.unionByName(dups).cache()
+    df.count()
+    return df
+
+
+def test_jaccard_pairs_vs_duckdb(spark, duck, sf_dir):
+    res = jaccard_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text", n=5, threshold=0.5
+    )
+    oracle = duck.execute(
+        """
+        WITH sh AS (
+          SELECT DISTINCT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT AS h
+          FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(length(text)-4, 1)+1),
+                  i -> substr(text, i::INT, 5)))) AS s FROM documents)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+        """
+    ).df()
+    assert_frames_match(res.toPandas(), oracle)
+
+
+def test_minhash_lsh_recall(corpus):
+    """LSH-verified near-dup pairs must recover every exact-Jaccard pair at
+    the threshold (32 hashes / 8 bands → band match prob ~1 at j≥0.7)."""
+    exact = {(r["id_a"], r["id_b"]) for r in
+             jaccard_pairs(corpus, "doc_id", "text", 5, threshold=0.7).collect()}
+    assert len(exact) >= 5  # the injected dups are found at all
+    got = {(r["id_a"], r["id_b"]) for r in
+           minhash_dedup(corpus, "doc_id", "text", 32, 8, 5, threshold=0.7).collect()}
+    assert exact <= got | exact and len(got & exact) / len(exact) >= 0.95
+    # verification step keeps precision exact: no pair below threshold
+    assert got <= {(r["id_a"], r["id_b"]) for r in
+                   jaccard_pairs(corpus, "doc_id", "text", 5, threshold=0.7).collect()}
+
+
+def test_minhash_signature_stable_across_partitionings(corpus):
+    a = minhash_signatures(corpus.repartition(1), "doc_id", "text", 16, 5)
+    b = minhash_signatures(corpus.repartition(16), "doc_id", "text", 16, 5)
+    pa = {r["doc_id"]: r["minhash"] for r in a.collect()}
+    pb = {r["doc_id"]: r["minhash"] for r in b.collect()}
+    assert pa == pb
+
+
+def test_lsh_candidates_contain_injected_dups(corpus):
+    sigs = minhash_signatures(corpus, "doc_id", "text", 32, 5)
+    cands = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, "doc_id", 8).collect()}
+    for i in range(5):
+        pair = tuple(sorted([i, i + 100000]))
+        assert pair in cands, f"injected dup {pair} missed by LSH"
+
+
+def test_simhash_near_vs_far(corpus):
+    sh = simhash_signatures(corpus, "doc_id", "text")
+    joined = sh.alias("x").join(
+        sh.alias("y"), F.col("x.doc_id") + 100000 == F.col("y.doc_id")
+    ).select(hamming64_col(F.col("x.simhash"), F.col("y.simhash")).alias("ham"))
+    near = [r["ham"] for r in joined.collect()]
+    assert len(near) == 5 and max(near) <= 8
+    far = sh.alias("x").join(
+        sh.alias("y"),
+        (F.col("x.doc_id") + 1 == F.col("y.doc_id")) & (F.col("x.doc_id") % 97 == 3),
+    ).select(hamming64_col(F.col("x.simhash"), F.col("y.simhash")).alias("ham"))
+    fars = [r["ham"] for r in far.collect()]
+    assert fars and np.mean(fars) > 10  # unrelated docs differ in many bits
+
+
+def test_embedding_near_dup_finds_planted(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = emb.filter("vec_id < 3").select(
+        (F.col("vec_id") + 9000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    pairs = embedding_near_dup(emb.select("vec_id", "embedding").unionByName(planted),
+                               "vec_id", threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(0, 9000), (1, 9001), (2, 9002)} <= got
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 10").select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in
+              lsh_ann_topk(emb, q, k=5, dim=64, n_planes=2, n_tables=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"ANN recall {recall} collapsed"
+    # every approx result is a genuine corpus/query pair with correct ranking ≤ 5
+    assert all(qid != vid for qid, vid in approx)

@@ -1,0 +1,243 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram Jaccard,
+MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+No analog exists in the reference (its only uniqueness machinery is the
+duplicate-stem assertion, ``/root/reference/utils/utils.py:91-92``); these are
+the scale-path operators a 100 TB corpus needs. Everything is pure DataFrame
+API — shingling via higher-order functions, hashing via ``md5``-prefix ints
+(chosen deliberately: DuckDB computes the identical value, so every stage up to
+LSH banding is oracle-checkable in SQL) — so Catalyst handles pushdown and AQE
+handles skew in the self-joins.
+
+Scale notes
+-----------
+- Shingle explosion multiplies rows by ~doc_len; the candidate self-join is on
+  the *banded signature* (MinHash) — k·n rows, band cardinality keeps buckets
+  small. Never on raw shingles except in ``jaccard_pairs`` (the exact verifier,
+  used on LSH candidates or small corpora).
+- Stop-shingle removal (``max_shingle_freq``) bounds the hottest buckets the
+  same way stop-words bound an inverted index; without it one common shingle
+  creates an O(n²) bucket.
+- All signatures are integers; a 10^12-row dedup shuffles fixed-width columns,
+  not text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# 2^32 < P (prime); md5-prefix hashes are < 2^32, so (a*h + b) % P is
+# collision-structured like a universal hash family
+_P = 4294967311
+_A_SEED = 0x9E3779B1
+
+
+def _hash_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family. ``a`` is kept
+    under 2^20 so a·h + b stays below 2^52 — ANSI-mode int64 safe in both Spark
+    and the DuckDB oracle (h is an md5-prefix < 2^32)."""
+    params = []
+    a, b = _A_SEED, 0x85EBCA77
+    for _ in range(n_hashes):
+        a = (a * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = (b * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        params.append((a % 1048573 + 1, b % _P))
+    return params
+
+
+def char_shingles(text_col, n: int = 5):
+    """Distinct character n-grams of a string column (higher-order functions,
+    no UDF): positions 1..len-n+1 → substrings → array_distinct."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    idx = F.sequence(F.lit(1), F.greatest(F.length(c) - n + 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(n))))
+
+
+def shingle_hash(shingle_col):
+    """32-bit integer hash of a shingle via md5 prefix — identical in DuckDB
+    (``('0x'||substr(md5(s),1,8))::BIGINT``), which keeps MinHash oracle-able."""
+    return F.conv(F.substring(F.md5(shingle_col), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, key_cols, tiebreak_col: str) -> DataFrame:
+    """Exact dedup: one surviving row per key (min tiebreak), plus group size."""
+    return df.groupBy(*key_cols).agg(
+        F.min(tiebreak_col).alias(f"keep_{tiebreak_col}"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, max_shingle_freq: int | None = None
+) -> DataFrame:
+    """(id, shingle_hash h) exploded table; optionally drops stop-shingles
+    occurring in more than ``max_shingle_freq`` docs (bounds join fan-out)."""
+    sh = (
+        df.select(id_col, F.explode(char_shingles(text_col, n)).alias("__sh"))
+        .select(id_col, shingle_hash(F.col("__sh")).alias("h"))
+        .distinct()
+    )
+    if max_shingle_freq:
+        hot = (
+            sh.groupBy("h").agg(F.count(F.lit(1)).alias("__f"))
+            .filter(F.col("__f") > max_shingle_freq)
+            .select("h")
+        )
+        sh = sh.join(F.broadcast(hot), "h", "left_anti")
+    return sh
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.7,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
+    |A∩B| via shingle self-join, |A∪B| = |A|+|B|−|A∩B|. Output
+    (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold."""
+    sh = shingle_table(df, id_col, text_col, n, max_shingle_freq)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "h")
+    b = sh.select(F.col(id_col).alias("id_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 32, shingle_n: int = 5
+) -> DataFrame:
+    """(id, minhash array<long>[n_hashes]) — min over shingles of
+    (a_i·h + b_i) mod P per hash function. One explode + one groupBy."""
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"__m{i}")
+        for i, (a, b) in enumerate(_hash_params(n_hashes))
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(id_col, F.array(*[f"__m{i}" for i in range(n_hashes)]).alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: int = 8, sig_col: str = "minhash"
+) -> DataFrame:
+    """Band the signature, hash each band, self-join on (band, band_hash):
+    classic MinHash-LSH candidate generation. Signature length must be
+    divisible by ``bands``."""
+    rows_per_band = F.size(F.col(sig_col)) / bands
+    banded = sig_df.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.xxhash64(
+                    F.slice(
+                        F.col(sig_col),
+                        (bnd * rows_per_band + 1).cast("int"),
+                        rows_per_band.cast("int"),
+                    ),
+                    bnd,
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: MinHash → LSH banding → candidate pairs →
+    exact-Jaccard verification ≥ threshold. Returns verified (id_a, id_b,
+    jaccard) pairs."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    exact = jaccard_pairs(df, id_col, text_col, shingle_n, threshold=0.0)
+    return (
+        cands.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """SimHash: per-token 64-bit hash (xxhash64), weighted bit-vote, sign →
+    signature. Near-dup docs differ in few bits (compare with hamming64).
+    Engine-specific hash ⇒ rows-only driver check; gated by pytest invariants."""
+    toks = df.select(
+        id_col,
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__tok"),
+    )
+    weighted = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("w"))
+    h = F.xxhash64("__tok")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))
+        ).alias(f"__v{i}")
+        for i in range(bits)
+    ]
+    agg = weighted.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"__v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return agg.select(id_col, sig.alias("simhash"))
+
+
+def hamming64_col(a, b):
+    """Popcount of XOR for two long columns (bit_count is native in Spark)."""
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)) if isinstance(a, str) else a.bitwiseXOR(b))
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cos ≥ threshold).
+    Brute-force O(n²) JVM-side — the exact verifier; for corpus scale, first
+    block candidates with ``similarity.hyperplane_buckets`` and verify here."""
+    norm = F.sqrt(F.aggregate(emb_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    base = df.select(F.col(id_col).alias("__id"), F.col(emb_col).alias("__e"), norm.alias("__n"))
+    a = base.select(F.col("__id").alias("id_a"), F.col("__e").alias("e_a"), F.col("__n").alias("n_a"))
+    b = base.select(F.col("__id").alias("id_b"), F.col("__e").alias("e_b"), F.col("__n").alias("n_b"))
+    dot = F.aggregate(F.zip_with("e_a", "e_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (dot / (F.col("n_a") * F.col("n_b"))).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
