@@ -1,0 +1,107 @@
+"""Resume-from-checkpoint gates (SURVEY §5: kill after partition k, rerun,
+identical output, no recompute of completed partitions)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from video_features_spark.operators.features import extract_image_features
+from video_features_spark.sources.checkpoint import (
+    PART_COL,
+    checkpointed_write,
+    load_manifest,
+    read_checkpointed,
+    verify_manifest,
+    with_partition_id,
+)
+from video_features_spark.sources.datagen import generate_images
+
+N_PARTS = 8
+
+
+@pytest.fixture()
+def base(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def _features(spark, n=120):
+    imgs = generate_images(spark, n, n_entities=6)
+    return extract_image_features(imgs, "clip-small-det").drop("error")
+
+
+def test_full_write_then_all_skipped(spark, base):
+    feats = _features(spark)
+    s1 = checkpointed_write(feats, base, ["entity_id"], num_parts=N_PARTS)
+    assert s1["parts_skipped"] == 0 and s1["rows_written"] == 120
+    s2 = checkpointed_write(feats, base, ["entity_id"], num_parts=N_PARTS)
+    assert s2["parts_skipped"] == s1["parts_written"]
+    assert s2["rows_written"] == 0
+    assert read_checkpointed(spark, base).count() == 120
+
+
+def test_resume_after_partial_failure(spark, base):
+    """Simulate a job killed mid-run: first run covers only some partitions
+    (failure injected by filtering), resume completes the rest; final output
+    equals a clean one-shot run exactly."""
+    feats = _features(spark)
+    keyed = with_partition_id(feats, ["entity_id"], N_PARTS)
+    survived = [r[PART_COL] for r in keyed.select(PART_COL).distinct().collect()][:2]
+    partial = keyed.filter(F.col(PART_COL).isin(survived)).drop(PART_COL)
+    s1 = checkpointed_write(partial, base, ["entity_id"], num_parts=N_PARTS)
+    assert s1["parts_written"] == len(survived)
+
+    s2 = checkpointed_write(feats, base, ["entity_id"], num_parts=N_PARTS)
+    assert s2["parts_skipped"] == len(survived)  # completed parts NOT recomputed
+
+    got = read_checkpointed(spark, base)
+    assert got.count() == 120
+    # value-identical to a clean run (embeddings deterministic, so exact)
+    clean = {r["image_id"]: r["embedding"] for r in _features(spark).collect()}
+    res = {r["image_id"]: r["embedding"] for r in got.collect()}
+    assert res == clean
+
+
+def test_no_recompute_proof_via_accumulator(spark, base):
+    """The expensive stage must not run for completed partitions: count UDF
+    invocations with an accumulator across the resume run."""
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf("int")
+    def expensive(x):
+        acc.add(1)
+        return x
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).alias("k")
+    ).withColumn("v", expensive(F.col("id").cast("int")))
+
+    checkpointed_write(df, base, ["k"], num_parts=4)
+    first_calls = acc.value
+    assert first_calls >= 100
+    checkpointed_write(df, base, ["k"], num_parts=4)
+    assert acc.value == first_calls, "resume run recomputed completed partitions"
+
+
+def test_verify_manifest_detects_corruption(spark, base):
+    feats = _features(spark)
+    checkpointed_write(feats, base, ["entity_id"], num_parts=N_PARTS)
+    assert verify_manifest(spark, base).count() == 0  # healthy
+    # corrupt one data partition: delete its files
+    import glob, os
+
+    part_dir = sorted(glob.glob(f"{base}/data/{PART_COL}=*"))[0]
+    shutil.rmtree(part_dir)
+    bad = verify_manifest(spark, base)
+    assert bad.count() >= 1  # drift detected
+
+
+def test_snapshot_isolation(spark, base):
+    """Different snapshot ids keep independent completion state (lineage)."""
+    feats = _features(spark, n=60)
+    checkpointed_write(feats, base, ["entity_id"], num_parts=4, snapshot_id="snapA")
+    s = checkpointed_write(feats, base, ["entity_id"], num_parts=4, snapshot_id="snapB")
+    assert s["parts_skipped"] == 0  # snapB starts fresh
+    m = load_manifest(spark, base)
+    assert {r["snapshot_id"] for r in m.select("snapshot_id").distinct().collect()} == {"snapA", "snapB"}

@@ -1,0 +1,124 @@
+"""Structured Streaming gates: streaming answers must equal the batch
+operators' answers on the same (replayed) input; custom stateful op carries
+state across micro-batches."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from video_features_spark.operators.features import extract_image_features
+from video_features_spark.operators.windows import tumbling_window_agg
+from video_features_spark.sources.datagen import generate_images
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events replayed as a 4-file stream (forces multiple micro-batches with
+    maxFilesPerTrigger)."""
+    d = str(tmp_path_factory.mktemp("stream_events"))
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(d)
+    return d
+
+
+def _run_stream(spark, sdf, name, mode="update"):
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")  # fresh per run: a stale
+    # checkpoint pins the old input paths and poisons the next pytest session
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _read_stream(spark, path):
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+
+
+def test_stream_tumbling_equals_batch(spark, events_dir):
+    from video_features_spark.streaming import stream_tumbling_agg
+
+    sdf = _read_stream(spark, events_dir)
+    # complete mode: a finite replay's final table is the full answer (append
+    # would only emit watermark-closed windows, i.e. nothing at stream end)
+    res = _run_stream(
+        spark, stream_tumbling_agg(sdf, ["user_id"], "ts", "1 day", watermark="365 days"),
+        "t_tumbling", mode="complete",
+    ).select("user_id", "win_start", "n_events", "sum_value")
+    batch = tumbling_window_agg(
+        spark.read.parquet(events_dir), ["user_id"], "ts", "1 day",
+        [F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")],
+    ).select("user_id", "win_start", "n_events", "sum_value")
+    # float sums differ in addition order between streaming partials and
+    # batch partials — compare rounded
+    got = {(r[0], r[1], r[2], round(r[3], 6)) for r in res.collect()}
+    want = {(r[0], r[1], r[2], round(r[3], 6)) for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_sessionize_counts(spark, events_dir):
+    from video_features_spark.streaming import stream_sessionize
+
+    sdf = _read_stream(spark, events_dir)
+    res = _run_stream(
+        spark, stream_sessionize(sdf, ["user_id"], "ts", gap="30 minutes", watermark="365 days"),
+        "t_sessions", mode="complete",
+    )
+    # session row counts must cover every input event exactly once
+    total = res.agg(F.sum("n_events")).first()[0]
+    assert total == spark.read.parquet(events_dir).count()
+    assert res.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_stream_dedup(spark, events_dir):
+    from video_features_spark.streaming import stream_dedup
+
+    sdf = _read_stream(spark, events_dir)
+    res = _run_stream(
+        spark, stream_dedup(sdf, ["user_id", "event_type"], "ts", watermark="365 days"),
+        "t_dedup", mode="append",
+    )
+    n_keys = (
+        spark.read.parquet(events_dir).select("user_id", "event_type").distinct().count()
+    )
+    assert res.count() == n_keys
+
+
+def test_stream_embed_equals_batch(spark, tmp_path):
+    from video_features_spark.streaming import stream_extract_features
+
+    d = str(tmp_path / "imgs")
+    generate_images(spark, 60, n_entities=4).write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    res = _run_stream(spark, stream_extract_features(sdf), "t_embed", mode="append")
+    batch = extract_image_features(spark.read.parquet(d))
+    got = {r["image_id"]: r["embedding"] for r in res.collect()}
+    want = {r["image_id"]: r["embedding"] for r in batch.collect()}
+    assert got == want  # one code path: stream == batch bit-for-bit
+
+
+def test_stream_running_state_across_microbatches(spark, events_dir):
+    from video_features_spark.streaming import stream_running_entity_state
+
+    sdf = _read_stream(spark, events_dir).withColumnRenamed("user_id", "entity_id")
+    res = _run_stream(spark, stream_running_entity_state(sdf), "t_state", mode="update")
+    # final state per entity (last update row) must equal the batch totals
+    final = (
+        res.groupBy("entity_id").agg(F.max("n_so_far").alias("n"))
+    )
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.col("user_id").cast("string").alias("entity_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {r["entity_id"]: r["n"] for r in final.collect()}
+    want = {r["entity_id"]: r["n"] for r in batch.collect()}
+    assert got == want

@@ -1,0 +1,151 @@
+"""Per-partition checkpoint/lineage manifests + resume-by-anti-join.
+
+Spark-native replacement for the reference's skip-if-done protocol
+(``/root/reference/models/_base/base_extractor.py:95-127``: outputs exist AND
+load without error → skip; re-check before overwrite at ``:73-76``) and its
+racy multi-worker coordination (shared FS + shuffled inputs, ``README.md:70-84``,
+which admits collisions "rewrite previously extracted features").
+
+Design
+------
+- Work is bucketed into ``num_parts`` deterministic partitions by key hash
+  (``__part = pmod(xxhash64(keys), num_parts)``) — the resume granule.
+- Data lands under ``<base>/data`` partitioned by ``__part`` with DYNAMIC
+  partition overwrite: re-running a partition replaces exactly that partition →
+  idempotent under crash-and-retry, no cross-run races.
+- The manifest (``<base>/_manifest``) appends one row per completed partition:
+  job/snapshot id, partition id, key range, row count, content checksum
+  (sum of per-row xxhash64 — order-independent, partitioning-independent).
+  A partition whose data wrote but whose manifest row didn't (crash between
+  the two) is simply recomputed and overwritten — safe, never corrupt.
+- Resume = left ANTI-join of the input's partition ids against the manifest's
+  completed ids: only missing partitions are computed. The expensive stage
+  (decode/embed UDFs) never runs for completed partitions because the filter
+  sits below it in the plan.
+- ``verify_manifest`` recounts + re-checksums the data and reports drift —
+  the "loads without error" half of the reference's check, done with
+  aggregates instead of re-reading into the model.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+PART_COL = "__part"
+
+
+def _data_path(base: str) -> str:
+    return os.path.join(base, "data")
+
+
+def _manifest_path(base: str) -> str:
+    return os.path.join(base, "_manifest")
+
+
+def with_partition_id(df: DataFrame, key_cols: Sequence[str], num_parts: int) -> DataFrame:
+    """Deterministic partition id from the entity key — same key always lands
+    in the same part regardless of cluster size or input order."""
+    return df.withColumn(PART_COL, F.pmod(F.xxhash64(*key_cols), F.lit(num_parts)).cast("int"))
+
+
+def _content_checksum(cols: Sequence[str]):
+    """Order-independent content hash: sum of per-row xxhash64 over all output
+    columns, accumulated in decimal(38,0) (an int64 sum overflows ANSI mode).
+    Any lost/duplicated/altered row changes it."""
+    return F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("checksum")
+
+
+def load_manifest(spark: SparkSession, base_path: str) -> DataFrame | None:
+    path = _manifest_path(base_path)
+    try:
+        return spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 - first run: no manifest yet
+        return None
+
+
+def checkpointed_write(
+    df: DataFrame,
+    base_path: str,
+    key_cols: Sequence[str],
+    num_parts: int = 64,
+    snapshot_id: str = "snapshot-0",
+) -> dict:
+    """Compute + write only the partitions the manifest doesn't mark complete.
+
+    Returns {"parts_total", "parts_skipped", "parts_written", "rows_written"}.
+    Call again after any failure: completed partitions are not recomputed.
+    """
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    keyed = with_partition_id(df, key_cols, num_parts)
+
+    manifest = load_manifest(spark, base_path)
+    done: set[int] = set()
+    if manifest is not None:
+        done = {
+            r[PART_COL]
+            for r in manifest.filter(F.col("snapshot_id") == snapshot_id)
+            .select(PART_COL)
+            .distinct()
+            .collect()
+        }
+
+    todo = keyed.filter(~F.col(PART_COL).isin(*done)) if done else keyed
+    out_cols = [c for c in keyed.columns if c != PART_COL]
+
+    stats = {"parts_total": num_parts, "parts_skipped": len(done)}
+    # materialize once: write data, then derive manifest rows from what landed
+    (
+        todo.write.mode("overwrite")
+        .partitionBy(PART_COL)
+        .parquet(_data_path(base_path))
+    )
+    written = spark.read.parquet(_data_path(base_path))
+    new_parts = written.filter(~F.col(PART_COL).isin(*done)) if done else written
+    manifest_rows = (
+        new_parts.groupBy(PART_COL)
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            _content_checksum(out_cols),
+            F.min(key_cols[0]).cast("string").alias("key_min"),
+            F.max(key_cols[0]).cast("string").alias("key_max"),
+        )
+        .withColumn("snapshot_id", F.lit(snapshot_id))
+    )
+    manifest_rows.write.mode("append").parquet(_manifest_path(base_path))
+
+    done_now = manifest_rows.agg(
+        F.count(F.lit(1)).alias("p"), F.sum("row_count").alias("r")
+    ).first()
+    stats["parts_written"] = done_now["p"] or 0
+    stats["rows_written"] = done_now["r"] or 0
+    return stats
+
+
+def read_checkpointed(spark: SparkSession, base_path: str) -> DataFrame:
+    return spark.read.parquet(_data_path(base_path)).drop(PART_COL)
+
+
+def verify_manifest(spark: SparkSession, base_path: str) -> DataFrame:
+    """Recount + re-checksum every data partition against its manifest row;
+    returns the partitions that disagree (empty DataFrame == healthy)."""
+    manifest = load_manifest(spark, base_path)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest under {base_path}")
+    data = spark.read.parquet(_data_path(base_path))
+    out_cols = [c for c in data.columns if c != PART_COL]
+    actual = data.groupBy(PART_COL).agg(
+        F.count(F.lit(1)).alias("actual_rows"), _content_checksum(out_cols).alias("actual_checksum")
+    )
+    return (
+        manifest.join(actual, PART_COL, "full")
+        .filter(
+            (F.col("row_count") != F.col("actual_rows"))
+            | (F.col("checksum") != F.col("actual_checksum"))
+            | F.col("row_count").isNull()
+            | F.col("actual_rows").isNull()
+        )
+    )

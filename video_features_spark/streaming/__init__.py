@@ -1,0 +1,7 @@
+from .ops import (  # noqa: F401
+    stream_dedup,
+    stream_extract_features,
+    stream_running_entity_state,
+    stream_sessionize,
+    stream_tumbling_agg,
+)

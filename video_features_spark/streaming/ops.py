@@ -1,0 +1,121 @@
+"""Structured Streaming variants of the stateful operators.
+
+The reference is batch-only, but its extraction loop is a hand-rolled
+micro-batcher: frames pulled lazily (``/root/reference/utils/io.py:109-154``),
+window state carried across batches (the I3D rolling stack,
+``models/i3d/extract_i3d.py:115-124``; the flow overlap cache,
+``utils/io.py:120-126``), results flushed per file, completed work skipped on
+restart. Structured Streaming gives each of those a principled form: event-time
+windows + watermarks for late data, ``session_window`` for gap sessions,
+``dropDuplicatesWithinWatermark`` for the dedup guard, checkpointed state for
+restart, and ``applyInPandasWithState`` for the custom rolling-stack state.
+
+All functions take and return streaming DataFrames; callers own the sink
+(`writeStream` + checkpointLocation). Tested with file sources +
+``trigger(availableNow=True)`` against the batch operators' answers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _tz(sdf: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (with zone); driver parquet carries NTZ."""
+    return sdf.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+
+
+def stream_tumbling_agg(
+    sdf: DataFrame,
+    entity_cols: Sequence[str],
+    ts_col: str,
+    window_duration: str,
+    watermark: str = "1 hour",
+    slide_duration: str | None = None,
+) -> DataFrame:
+    """Event-time tumbling/sliding aggregation with a watermark: the streaming
+    twin of ``operators.windows.tumbling_window_agg`` (same output schema).
+    Late rows beyond ``watermark`` are dropped; state is bounded by it."""
+    win = F.window(ts_col, window_duration, slide_duration or window_duration)
+    return (
+        _tz(sdf, ts_col).withWatermark(ts_col, watermark)
+        .groupBy(*entity_cols, win.alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .withColumn("win_start", F.col("win.start"))
+        .withColumn("win_end", F.col("win.end"))
+        .drop("win")
+    )
+
+
+def stream_sessionize(
+    sdf: DataFrame,
+    entity_cols: Sequence[str],
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessions via native ``session_window`` — the streaming twin of
+    ``operators.windows.sessionize`` (which assigns ids; this one emits one row
+    per closed session with its span and event count)."""
+    return (
+        _tz(sdf, ts_col).withWatermark(ts_col, watermark)
+        .groupBy(*entity_cols, F.session_window(ts_col, gap).alias("session"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *entity_cols,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(
+    sdf: DataFrame, key_cols: Sequence[str], ts_col: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon — the streaming twin
+    of the reference's skip-if-done guard (keyed, state auto-expired)."""
+    return _tz(sdf, ts_col).withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))
+
+
+def stream_extract_features(sdf: DataFrame, model_name: str = "clip-small-det") -> DataFrame:
+    """Decode+embed on a stream: ``extract_image_features`` is mapInPandas, so
+    the exact same operator runs on a streaming DataFrame unchanged — one code
+    path for batch and streaming (the reference needs two: loop + resume)."""
+    from ..operators.features import extract_image_features
+
+    return extract_image_features(sdf, model_name)
+
+
+_STATE_SCHEMA = "n long, last_ts timestamp"
+_OUT_SCHEMA = "entity_id string, n_so_far long, last_ts timestamp"
+
+
+def stream_running_entity_state(
+    sdf: DataFrame, entity_col: str = "entity_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-entity event count + latest event time, emitted every micro-batch —
+    the principled version of the reference's cross-batch rolling state
+    (rgb_stack retention, extract_i3d.py:119-122)."""
+
+    def update(key, pdfs, state: GroupState):
+        n, last = (state.get if state.exists else (0, None))
+        for pdf in pdfs:
+            n += len(pdf)
+            mx = pd.to_datetime(pdf[ts_col]).max()
+            last = mx if last is None or mx > last else last
+        state.update((n, last))
+        yield pd.DataFrame({"entity_id": [str(key[0])], "n_so_far": [n], "last_ts": [last]})
+
+    return sdf.groupBy(entity_col).applyInPandasWithState(
+        update,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
