@@ -432,6 +432,41 @@ def _q_image_phash_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_pair_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-frame pair features (reference flow pattern, J1)."""
+    from video_features_spark.operators.temporal_features import consecutive_pair_features
+
+    n = _n_images(sf_dir)
+    imgs = generate_images(spark, n, n_entities=max(n // 50, 1))
+    return consecutive_pair_features(imgs)
+
+
+def _q_image_stack_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-stack mean-pooled clip embeddings (S3D/A1 pattern)."""
+    from video_features_spark.operators.temporal_features import stack_mean_pool
+
+    n = _n_images(sf_dir)
+    imgs = generate_images(spark, n, n_entities=max(n // 50, 1))
+    feats = extract_image_features(imgs, "clip-small-det")
+    pooled = stack_mean_pool(feats, stack_size=8, step_size=4)
+    return pooled.select(
+        "entity_id", "stack_start_idx", "stack_ts",
+        F.aggregate("stack_embedding", F.lit(0.0), lambda a, x: a + x * x).alias("stack_sq_norm"),
+    )
+
+
+def _q_image_zero_shot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style zero-shot classification (J2 cross-join + W6 top-k)."""
+    from video_features_spark.operators.temporal_features import zero_shot_classify
+
+    n = min(_n_images(sf_dir), 500)
+    imgs = generate_images(spark, n, n_entities=max(n // 50, 1))
+    feats = extract_image_features(imgs, "clip-small-det")
+    return zero_shot_classify(
+        feats, ["a photo of a cat", "a landscape", "a vehicle", "food"], top_k=3
+    ).select("image_id", "class_id", "rank", "prob")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synth images → decode+embed (Arrow UDF) → strict as-of join
     against labels → leakage gate → point-in-time training rows."""
@@ -482,6 +517,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_flagship": _q_image_flagship,
         "image_caption_sim": _q_image_caption_sim,
         "image_phash_sessions": _q_image_phash_sessions,
+        "image_pair_motion": _q_image_pair_motion,
+        "image_stack_pool": _q_image_stack_pool,
+        "image_zero_shot": _q_image_zero_shot,
     }
 
 

@@ -1,0 +1,91 @@
+"""Physical-plan audit: assert the plan shapes we designed for actually hold
+(pushdown, pruning, shared window exchanges, broadcast joins). Run after
+operator changes: python scripts/plan_audit.py [sf_dir]."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from video_features_spark.session import get_spark  # noqa: E402
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main(sf_dir: str) -> int:
+    spark = get_spark(cores=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    failures = []
+
+    # 1. predicate pushdown + column pruning reach the scan
+    q = (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    p = plan_of(q)
+    if "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" not in p:
+        failures.append("tpch filter NOT pushed to scan")
+    if "l_extendedprice" in p:
+        failures.append("tpch scan reads unprojected columns")
+
+    # 2. chained window ops over one (key, order) spec share a single sort
+    from video_features_spark.operators import backfill, lag_lead, sessionize
+
+    chained = backfill(
+        sessionize(lag_lead(ev, ["user_id"], "ts", "value"), ["user_id"], "ts", 1800),
+        ["user_id"],
+        "ts",
+        ["value"],
+    )
+    n_sorts = plan_of(chained).count(" Sort ")
+    if n_sorts > 1:
+        failures.append(f"chained windows use {n_sorts} sorts (expected 1 shared)")
+
+    # 3. small-side joins broadcast (never SortMergeJoin for the query side)
+    import __spark_entry__ as entrymod
+
+    p = plan_of(entrymod.queries()["cosine_topk"](spark, sf_dir))
+    if "SortMergeJoin" in p:
+        failures.append("cosine_topk fell back to SortMergeJoin")
+    if "BroadcastExchange" not in p:
+        failures.append("cosine_topk query side not broadcast")
+
+    # 4. image pipeline reads only the columns it needs
+    from video_features_spark.operators.features import extract_image_features
+    from video_features_spark.sources.datagen import generate_images
+
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="audit_imgs_")
+    generate_images(spark, 50, n_entities=2).write.mode("overwrite").parquet(d)
+    p = plan_of(extract_image_features(spark.read.parquet(d)))
+    read_line = next(line for line in p.splitlines() if "ReadSchema" in line)
+    for unneeded in ("caption", "phash", "w:", "h:"):
+        if unneeded in read_line:
+            failures.append(f"image pipeline scan reads unneeded column {unneeded}")
+
+    spark.stop()
+    if failures:
+        print("PLAN AUDIT FAILURES:")
+        for f in failures:
+            print(" -", f)
+        return 1
+    print("plan audit: all checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))

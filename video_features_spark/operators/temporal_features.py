@@ -1,0 +1,170 @@
+"""Temporal feature operators over per-entity image/embedding sequences:
+consecutive-pair features (the optical-flow pattern), stack mean-pooling (the
+S3D/I3D clip-embedding pattern), and zero-shot classification (the CLIP
+image×text pattern).
+
+These are the three reference operator families that consume *sequences*, not
+single rows — re-expressed so the windowing lives in DataFrame land (the
+reference hand-rolls it inside its batcher and needs an overlap cache,
+``/root/reference/utils/io.py:120-126``, to avoid losing pairs at batch
+boundaries; ``F.lead`` makes that problem not exist).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.codec import decode_image
+from ..functions.embed import get_model
+
+
+def consecutive_pair_features(
+    df: DataFrame,
+    entity_col: str = "entity_id",
+    ts_col: str = "ts",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Pair every image with its entity's NEXT image and compute pair features
+    (mean absolute pixel motion, changed-pixel fraction) — the relational form
+    of the reference's flow extraction: ``model(batch[:-1], batch[1:])`` with
+    an overlap=1 batch cache (``models/_base/base_flow_extractor.py:78-84``,
+    ``utils/io.py:120-126``). Here: ``F.lead`` over (entity ORDER BY ts) pairs
+    rows across any partitioning; one shuffle, then a single Arrow pass.
+
+    Last frame of each entity has no successor → dropped (same as reference:
+    T frames yield T-1 flow vectors). Pairs with mismatched shapes (the entity
+    changed resolution mid-stream) yield null features + an ``error``.
+    """
+    w = Window.partitionBy(entity_col).orderBy(ts_col)
+    paired = (
+        df.select(entity_col, ts_col, bytes_col, fmt_col)
+        .withColumn("__nb", F.lead(bytes_col).over(w))
+        .withColumn("__nf", F.lead(fmt_col).over(w))
+        .withColumn("__nts", F.lead(ts_col).over(w))
+        .filter(F.col("__nb").isNotNull())
+    )
+    id_schema = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in (entity_col, ts_col)
+    )
+    out_schema = (
+        f"{id_schema}, next_ts timestamp, mean_abs_motion double, "
+        f"changed_frac double, error string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            motion, changed, err = [], [], []
+            for i in range(len(b)):
+                try:
+                    a = decode_image(bytes(b[bytes_col].iloc[i]), b[fmt_col].iloc[i])
+                    nxt = decode_image(bytes(b["__nb"].iloc[i]), b["__nf"].iloc[i])
+                    if a.shape != nxt.shape:
+                        raise ValueError(f"shape mismatch {a.shape} vs {nxt.shape}")
+                    diff = np.abs(a.astype(np.int16) - nxt.astype(np.int16))
+                    motion.append(float(diff.mean()))
+                    changed.append(float((diff.max(axis=2) > 8).mean()))
+                    err.append(None)
+                except Exception as e:  # noqa: BLE001 - quarantine
+                    motion.append(None)
+                    changed.append(None)
+                    err.append(f"{type(e).__name__}: {e}")
+            out = b[[entity_col, ts_col]].copy()
+            out["next_ts"] = b["__nts"].values
+            out["mean_abs_motion"] = motion
+            out["changed_frac"] = changed
+            out["error"] = err
+            yield out
+
+    return paired.mapInPandas(run, schema=out_schema)
+
+
+def stack_mean_pool(
+    df: DataFrame,
+    entity_col: str = "entity_id",
+    ts_col: str = "ts",
+    emb_col: str = "embedding",
+    stack_size: int = 8,
+    step_size: int = 4,
+) -> DataFrame:
+    """Clip-level embeddings: slide a window of ``stack_size`` frame embeddings
+    per entity (advance ``step_size``, complete stacks only) and mean-pool each
+    stack into one vector — the S3D semantics (``s3d_src/s3d.py:35-48``: pool
+    over the stack then mean; stack framing per ``form_slices``,
+    ``utils/utils.py:62-71``; emitted ts = last frame of the stack, matching
+    I3D's fire-at-stack-full timestamp, ``extract_i3d.py:115-124``).
+
+    Implementation: per-entity cogroup-free ``applyInPandas`` (one group = one
+    entity; embedding stacking is a dense numpy op, the exact case grouped-map
+    UDFs exist for). Entities are independent → embarrassingly parallel."""
+    out_schema = (
+        f"`{entity_col}` {df.schema[entity_col].dataType.simpleString()}, "
+        f"stack_start_idx int, stack_ts timestamp, stack_embedding array<float>"
+    )
+
+    def pool(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        rows = []
+        embs = np.array(pdf[emb_col].tolist(), dtype=np.float32) if n else None
+        for start in range(0, n - stack_size + 1, step_size):
+            stack = embs[start : start + stack_size]
+            rows.append(
+                (
+                    pdf[entity_col].iloc[0],
+                    start,
+                    pdf[ts_col].iloc[start + stack_size - 1],
+                    stack.mean(axis=0).astype(np.float32).tolist(),
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=[entity_col, "stack_start_idx", "stack_ts", "stack_embedding"]
+        )
+
+    return df.select(entity_col, ts_col, emb_col).groupBy(entity_col).applyInPandas(
+        pool, schema=out_schema
+    )
+
+
+def zero_shot_classify(
+    image_feats: DataFrame,
+    class_captions: Sequence[str],
+    model_name: str = "clip-small-det",
+    id_col: str = "image_id",
+    emb_col: str = "embedding",
+    logit_scale: float = 100.0,
+    top_k: int = 5,
+) -> DataFrame:
+    """CLIP zero-shot classification: every image embedding against every class
+    caption embedding — ``logit_scale * v @ t.T`` then top-k
+    (``models/clip/extract_clip.py:86-108``; top-5 print at
+    ``utils/utils.py:40-46``). The class table is tiny → computed driver-side
+    once, broadcast-joined; per-row softmax over classes in JVM expressions."""
+    from ..functions.embed import embed_captions
+
+    spark = image_feats.sparkSession
+    cls_emb = embed_captions(list(class_captions), model_name)
+    cls_df = spark.createDataFrame(
+        [(i, c, e.tolist()) for i, (c, e) in enumerate(zip(class_captions, cls_emb))],
+        "class_id int, class_caption string, class_embedding array<float>",
+    )
+    dot = F.aggregate(
+        F.zip_with(emb_col, "class_embedding", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = image_feats.crossJoin(F.broadcast(cls_df)).select(
+        id_col, "class_id", "class_caption", (F.lit(logit_scale) * dot).alias("logit")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("logit"), F.asc("class_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= top_k)
+    # softmax over the top-k logits (reference softmaxes then sorts; same order)
+    wsum = Window.partitionBy(id_col)
+    return ranked.withColumn(
+        "prob", F.exp(F.col("logit") - F.max("logit").over(wsum))
+        / F.sum(F.exp(F.col("logit") - F.max("logit").over(wsum))).over(wsum),
+    )
