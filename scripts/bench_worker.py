@@ -11,6 +11,13 @@ Modes
                   materialization (noop write). Two timed repetitions after a
                   pipeline warmup; best time reported (steady-state throughput,
                   the quantity that scales with executors).
+--hw --cores N  : hardware-ceiling probe — the SAME decode+embed kernel run by
+                  a raw multiprocessing pool of N workers, no Spark, no JVM.
+                  This single-box sandbox shares LLC/memory bandwidth across
+                  cores, so even a perfect engine cannot scale 8→32 at 1.0; the
+                  pool's 8→32 ratio is the host's ceiling. Spark efficiency is
+                  reported raw AND relative to this ceiling (a real N→4N
+                  executor cluster adds nodes, not core-contention).
 """
 
 from __future__ import annotations
@@ -61,6 +68,56 @@ def prepare(n: int) -> None:
         ).parquet(lbl_path(n))
     spark.stop()
     print("BENCH_JSON:" + json.dumps({"prepared": n}))
+
+
+def _hw_chunk(payload: "tuple[list[bytes], list[str]]") -> int:
+    """Pool worker: decode + preprocess + embed one chunk with the identical
+    kernel the Spark UDF uses (functions.codec + functions.embed)."""
+    from video_features_spark.functions.codec import decode_image
+    from video_features_spark.functions.embed import preprocess_and_embed
+
+    blobs, fmts = payload
+    batch = 256
+    done = 0
+    for i in range(0, len(blobs), batch):
+        imgs = [decode_image(b, f) for b, f in zip(blobs[i : i + batch], fmts[i : i + batch])]
+        preprocess_and_embed(imgs, "clip-small-det")
+        done += len(imgs)
+    return done
+
+
+def hw_ceiling_run(args) -> None:
+    """Throughput of the raw kernel under a multiprocessing pool of N workers —
+    the no-engine hardware ceiling for this core count (see module docstring)."""
+    import multiprocessing as mp
+
+    import pyarrow.dataset as ds
+
+    n = min(args.images, 16000)
+    tbl = ds.dataset(img_path(args.images)).head(n, columns=["bytes", "fmt"])
+    blobs = [b.as_py() for b in tbl["bytes"]]
+    fmts = [f.as_py() for f in tbl["fmt"]]
+    workers = args.cores
+    chunks = [
+        (blobs[i::workers], fmts[i::workers]) for i in range(workers)
+    ]
+    ctx = mp.get_context("spawn")  # no inherited BLAS/thread state
+    with ctx.Pool(workers) as pool:
+        pool.map(_hw_chunk, [(c[0][:8], c[1][:8]) for c in chunks])  # warmup: fork+import
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            counts = pool.map(_hw_chunk, chunks)
+            times.append(time.time() - t0)
+        assert sum(counts) == n
+    e2e = min(times)
+    print(
+        "BENCH_JSON:"
+        + json.dumps(
+            {"cores": workers, "images": n, "e2e_sec": round(e2e, 3),
+             "images_per_sec": round(n / e2e, 2)}
+        )
+    )
 
 
 def timed_run(args) -> None:
@@ -141,9 +198,12 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--queries", action="store_true")
     ap.add_argument("--prepare", action="store_true")
+    ap.add_argument("--hw", action="store_true")
     args = ap.parse_args()
     if args.prepare:
         prepare(args.images)
+    elif args.hw:
+        hw_ceiling_run(args)
     else:
         timed_run(args)
 
