@@ -62,6 +62,9 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse PNG scanline filters 0-4 (spec §9); needed to decode arbitrary
     8-bit RGB PNGs, not just our own filter-0 output."""
     rows = raw.reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    if not ftypes.any():  # all filter-0 (our own encoder's output): pure slice
+        return np.ascontiguousarray(rows[:, 1:])
     out = np.zeros((h, stride), np.uint8)
     for y in range(h):
         ftype, line = rows[y, 0], rows[y, 1:].astype(np.int32)

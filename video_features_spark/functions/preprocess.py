@@ -21,6 +21,8 @@ so ``numpy.allclose`` holds regardless of Spark parallelism.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 # CLIP normalization constants (reference extract_clip.py:76-77)
@@ -28,9 +30,12 @@ CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
 CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
 
 
+@lru_cache(maxsize=1024)
 def _kernel_weights(n_in: int, n_out: int, kind: str) -> np.ndarray:
     """Dense (n_out, n_in) resampling matrix: separable kernel with scale-widened
-    support on downscale (antialias), edge-clamped, rows normalized to 1."""
+    support on downscale (antialias), edge-clamped, rows normalized to 1.
+    Memoized per (n_in, n_out, kind) — image sizes repeat heavily, and building
+    the matrix otherwise dominates per-image preprocessing cost."""
     scale = n_in / n_out
     support = {"bilinear": 1.0, "bicubic": 2.0}[kind]
     width = support * max(scale, 1.0)
@@ -56,7 +61,9 @@ def _kernel_weights(n_in: int, n_out: int, kind: str) -> np.ndarray:
         if s != 0:
             wgt = wgt / s
         np.add.at(mat[i], idx, wgt)
-    return mat.astype(np.float32)
+    out = mat.astype(np.float32)
+    out.flags.writeable = False  # shared via the cache
+    return out
 
 
 def resize(
@@ -76,10 +83,13 @@ def resize(
     else:
         nh = nw = size
     a = arr.astype(np.float32)
+    # separable resample as two BLAS matmuls (einsum's c_einsum path is ~5x
+    # slower for this contraction and dominated the per-image cost)
     if nh != h:
-        a = np.einsum("oh,hwc->owc", _kernel_weights(h, nh, kind), a)
+        a = (_kernel_weights(h, nh, kind) @ a.reshape(h, w * 3)).reshape(nh, w, 3)
     if nw != w:
-        a = np.einsum("ow,hwc->hoc", _kernel_weights(w, nw, kind), a)
+        t = np.ascontiguousarray(a.transpose(1, 0, 2)).reshape(w, nh * 3)
+        a = (_kernel_weights(w, nw, kind) @ t).reshape(nw, nh, 3).transpose(1, 0, 2)
     return a
 
 
