@@ -1,0 +1,187 @@
+"""Byte-pair-encoding tokenizer (CLIP-tokenizer semantics), pure Python/numpy.
+
+Implements the reference tokenizer's *algorithm* faithfully —
+``/root/reference/models/clip/clip_src/simple_tokenizer.py:62-127`` (byte→unicode
+table, regex word split, greedy lowest-rank pair merging, ``</w>`` end-of-word
+marker) and the framing contract of ``clip_src/clip.py:200-240`` (SOT/EOT
+tokens, fixed context length 77, optional truncation, zero padding) — but NOT
+its vocabulary: the reference ships a 16 MB gzip merge table
+(``bpe_simple_vocab_16e6.txt.gz``) we neither have nor copy. Instead the merge
+table is *trained deterministically* at first use from a seeded corpus (classic
+BPE training: repeatedly merge the most frequent adjacent pair; ties broken
+lexicographically, so the table is reproducible bit-for-bit on every executor).
+Swapping in the real CLIP vocabulary is a one-function change (``_merges``).
+
+Tokenization is per-row CPU work with no cross-row state — exactly the shape
+for an Arrow-batched pandas UDF; the vocab is built once per executor process
+(same caching pattern as the embedding weights in ``embed.py``).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+from .embed import clean_caption
+
+SOT = "<|startoftext|>"
+EOT = "<|endoftext|>"
+CONTEXT_LENGTH = 77  # reference clip.py:204 default
+
+# reference simple_tokenizer.py:75: the word-split regex (contractions, letter
+# runs, digit singles, other-symbol runs), minus the unavailable \p classes —
+# re module has no \p{L}; [a-zA-Z] covers the deterministic synthetic corpus
+# and any ASCII text; non-ASCII letters fall into the "other" class and still
+# round-trip through the byte encoding.
+_PAT = re.compile(
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+"
+)
+
+
+@lru_cache(maxsize=1)
+def bytes_to_unicode() -> dict[int, str]:
+    """Reversible byte→printable-unicode map (GPT-2/CLIP construction:
+    printable ranges map to themselves, the rest shift past 255)."""
+    bs = list(range(ord("!"), ord("~") + 1)) + list(range(0xA1, 0xAD)) + list(range(0xAE, 0x100))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+# deterministic training corpus: weighted word list (same vocabulary the
+# synthetic caption generator draws from, plus generic filler) — seeded, fixed
+_TRAIN_WORDS = (
+    ("a", 50), ("the", 40), ("of", 30), ("photo", 25), ("on", 20), ("in", 20),
+    ("cat", 12), ("dog", 12), ("sunset", 10), ("mountain", 10), ("lake", 10),
+    ("snow", 8), ("city", 8), ("night", 8), ("lights", 8), ("portrait", 6),
+    ("old", 6), ("man", 6), ("reading", 6), ("book", 6), ("children", 6),
+    ("playing", 6), ("beach", 6), ("red", 6), ("bicycle", 6), ("wall", 6),
+    ("forest", 5), ("path", 5), ("autumn", 5), ("leaves", 5), ("coffee", 5),
+    ("cup", 5), ("rain", 5), ("window", 5), ("street", 5), ("market", 5),
+    ("fruit", 5), ("vendor", 5), ("dancing", 4), ("festival", 4), ("car", 4),
+    ("parked", 4), ("near", 4), ("fresh", 4), ("bread", 4), ("wooden", 4),
+    ("table", 4), ("lighthouse", 4), ("storm", 4), ("waves", 4), ("garden", 4),
+    ("tulips", 4), ("running", 3), ("jumping", 3), ("standing", 3), ("walking", 3),
+    ("looking", 3), ("holding", 3), ("wearing", 3), ("sitting", 3), ("under", 3),
+    ("over", 3), ("with", 3), ("and", 3), ("black", 3), ("white", 3), ("green", 3),
+    ("blue", 3), ("yellow", 3), ("small", 3), ("large", 3),
+)
+_N_MERGES = 512
+
+
+@lru_cache(maxsize=1)
+def _merges() -> dict[tuple[str, str], int]:
+    """Train the merge table (classic BPE, deterministic): start from single
+    characters with a ``</w>`` marker on the final one, repeatedly merge the
+    globally most frequent adjacent symbol pair (ties → lexicographic)."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for word, freq in _TRAIN_WORDS:
+        sym = tuple(word[:-1]) + (word[-1] + "</w>",)
+        vocab[sym] = vocab.get(sym, 0) + freq
+    merges: dict[tuple[str, str], int] = {}
+    for rank in range(_N_MERGES):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, freq in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] = pairs.get((sym[i], sym[i + 1]), 0) + freq
+        if not pairs:
+            break
+        # deterministic tie-break: highest count, then lexicographically smallest
+        best_count = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == best_count)
+        merges[best] = rank
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, freq in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and (sym[i], sym[i + 1]) == best:
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+@lru_cache(maxsize=1)
+def _encoder() -> dict[str, int]:
+    """token string → id. Layout (stable): 0 = pad, 1..256 = byte alphabet,
+    257.. = merged tokens in rank order, then the two specials."""
+    byte_syms = sorted(bytes_to_unicode().values())
+    toks = [s + "</w>" for s in byte_syms] + byte_syms
+    for (a, b) in sorted(_merges(), key=_merges().get):
+        toks.append(a + b)
+    enc = {t: i + 1 for i, t in enumerate(toks)}
+    enc[SOT] = len(enc) + 1
+    enc[EOT] = len(enc) + 1
+    return enc
+
+
+def vocab_size() -> int:
+    return len(_encoder()) + 1  # + pad
+
+
+@lru_cache(maxsize=65536)
+def _bpe_word(token: str) -> tuple[str, ...]:
+    """Greedy merge loop (reference simple_tokenizer.py:85-113): repeatedly
+    merge the adjacent pair with the lowest merge rank until none applies."""
+    merges = _merges()
+    word: tuple[str, ...] = tuple(token[:-1]) + (token[-1] + "</w>",)
+    while len(word) > 1:
+        pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+        ranked = [(merges[p], p) for p in pairs if p in merges]
+        if not ranked:
+            break
+        _, bigram = min(ranked)
+        out: list[str] = []
+        i = 0
+        while i < len(word):
+            if i < len(word) - 1 and (word[i], word[i + 1]) == bigram:
+                out.append(word[i] + word[i + 1])
+                i += 2
+            else:
+                out.append(word[i])
+                i += 1
+        word = tuple(out)
+    return word
+
+
+def encode(text: str) -> list[int]:
+    """Text → BPE ids (no framing). Cleanup mirrors the reference
+    (simple_tokenizer.py:123: whitespace-collapse + lowercase before split)."""
+    b2u = bytes_to_unicode()
+    enc = _encoder()
+    ids: list[int] = []
+    for tok in _PAT.findall(clean_caption(text)):
+        mapped = "".join(b2u[b] for b in tok.encode("utf-8"))
+        ids.extend(enc[piece] for piece in _bpe_word(mapped) if piece in enc)
+    return ids
+
+
+def tokenize(
+    texts: list[str | None], context_length: int = CONTEXT_LENGTH, truncate: bool = True
+) -> list[list[int]]:
+    """Reference ``clip.tokenize`` contract (clip_src/clip.py:200-240):
+    ``[SOT] + bpe(text) + [EOT]`` zero-padded to ``context_length``; overlong
+    inputs are truncated (EOT kept as the final token) when ``truncate`` else
+    raise. Nulls tokenize as the empty string."""
+    enc = _encoder()
+    sot, eot = enc[SOT], enc[EOT]
+    out: list[list[int]] = []
+    for t in texts:
+        ids = [sot] + encode(t or "") + [eot]
+        if len(ids) > context_length:
+            if not truncate:
+                raise ValueError(f"input too long for context length {context_length}")
+            ids = ids[: context_length - 1] + [eot]
+        out.append(ids + [0] * (context_length - len(ids)))
+    return out

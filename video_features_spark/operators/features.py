@@ -112,6 +112,26 @@ def caption_token_count(df: DataFrame, caption_col: str = "caption", out_col: st
     return df.withColumn(out_col, _count(F.col(caption_col)))
 
 
+def caption_bpe_tokenize(
+    df: DataFrame,
+    caption_col: str = "caption",
+    out_col: str = "token_ids",
+    context_length: int = 77,
+) -> DataFrame:
+    """Full BPE tokenization of captions (P19): byte→unicode map, regex word
+    split, greedy rank-ordered pair merging, SOT/EOT framing, fixed-length
+    zero-padded output — the reference tokenizer's algorithm
+    (simple_tokenizer.py:62-127, clip.py:200-240) over a deterministic trained
+    merge table (functions/bpe.py). Vocab builds once per executor process."""
+    from ..functions.bpe import tokenize
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _tok(texts: pd.Series) -> pd.Series:
+        return pd.Series(tokenize(texts.tolist(), context_length=context_length))
+
+    return df.withColumn(out_col, _tok(F.col(caption_col)))
+
+
 def image_text_similarity(
     df: DataFrame,
     img_col: str = "embedding",
