@@ -122,3 +122,19 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.6, f"ANN recall {recall} collapsed"
     # every approx result is a genuine corpus/query pair with correct ranking ≤ 5
     assert all(qid != vid for qid, vid in approx)
+
+
+def test_ivf_ann_recall_and_exactness_at_full_probe(spark, sf_dir):
+    from video_features_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 10").select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in
+              ivf_ann_topk(emb, q, k=5, n_centroids=16, nprobe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall {recall} collapsed"
+    # probing every cell must reproduce the exact result (IVF → brute force)
+    full = {(r["query_id"], r["vec_id"]) for r in
+            ivf_ann_topk(emb, q, k=5, n_centroids=8, nprobe=8).collect()}
+    assert full == exact

@@ -1,5 +1,6 @@
 """Similarity search over embedding columns: brute-force cosine top-k (the
-exact baseline) and hyperplane-LSH bucketed ANN (the 10^12-row scale path).
+exact baseline), hyperplane-LSH bucketed ANN, and IVF (inverted-file)
+partitioned ANN — two independent 10^12-row scale paths.
 
 The reference's closest analog is CLIP's zero-shot image×text matmul
 (``/root/reference/models/clip/extract_clip.py:86-108``) — a dense all-pairs
@@ -13,7 +14,9 @@ co-partitioned by bucket so even that shuffle shrinks to bucket-local work.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import ArrayType, IntegerType
 
 
 def _l2(col):
@@ -42,6 +45,109 @@ def cosine_topk(
         query_id_col,
         id_col,
         (_dot("__ce", "__qe") / (F.col("__cn") * F.col("__qn"))).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted file) ANN — k-means cells, probe the nearest nprobe cells
+# ---------------------------------------------------------------------------
+
+
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_centroids: int = 32,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Deterministic spherical k-means on a fixed sample → (n_centroids, dim)
+    float32, L2-normalized. The sample is the first ``sample_size`` rows by
+    ``id_col`` (stable under any partitioning); at 10^12-row scale swap in
+    ``df.sample(fraction, seed)`` — the centroids only need to be
+    representative, the assignment pass below is what scales."""
+    rows = (
+        corpus.select(id_col, emb_col)
+        .orderBy(id_col)
+        .limit(sample_size)
+        .select(emb_col)
+        .collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float32)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents.astype(np.float32)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+    nprobe: int = 1,
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Attach the ``nprobe`` nearest-centroid cell ids (exploded: one row per
+    probed cell). Centroids ride to executors inside the UDF closure (same
+    mechanism as broadcast for this size); the matmul is one Arrow batch at a
+    time — no per-row Python."""
+    cents = centroids  # captured; ~n_centroids×dim floats
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _cells(embs: pd.Series) -> pd.Series:
+        x = np.array(embs.tolist(), dtype=np.float32)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ cents.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.astype(int).tolist() for row in top])
+
+    return df.withColumn(out_col, F.explode(_cells(F.col(emb_col))))
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    sample_size: int = 4096,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF ANN: corpus rows live in exactly one k-means cell (the inverted
+    file); each query probes its ``nprobe`` nearest cells and ranks only those
+    cells' members. Complements LSH: cells adapt to the data distribution
+    (hyperplanes don't), at the cost of the small centroid-fit pass. Recall
+    rises with nprobe → n_centroids (exact when nprobe == n_centroids)."""
+    cents = ivf_fit_centroids(
+        corpus, id_col, emb_col, n_centroids=n_centroids, sample_size=sample_size, seed=seed
+    )
+    c = ivf_assign(corpus.select(id_col, emb_col), cents, emb_col, nprobe=1)
+    c = c.select(id_col, F.col(emb_col).alias("__ce"), _l2(emb_col).alias("__cn"), "ivf_cell")
+    q = ivf_assign(queries.select(query_id_col, emb_col), cents, emb_col, nprobe=nprobe)
+    q = q.select(
+        query_id_col, F.col(emb_col).alias("__qe"), _l2(emb_col).alias("__qn"), "ivf_cell"
+    )
+    sims = (
+        c.join(F.broadcast(q), "ivf_cell")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col, id_col,
+            (_dot("__ce", "__qe") / (F.col("__cn") * F.col("__qn"))).alias("cos"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
