@@ -36,36 +36,21 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    from video_features_spark.operators import asof_join
-    from video_features_spark.operators.asof import assert_no_leakage
-    from video_features_spark.operators.features import extract_image_features
-    from video_features_spark.sources.checkpoint import checkpointed_write
+    from video_features_spark.plans import FeatureJobSpec, run
 
     # on a cluster, spark-submit owns master/executors; getOrCreate attaches
     spark = SparkSession.builder.appName("vfs-point-in-time").getOrCreate()
-
-    images = spark.read.parquet(args.images)
-    labels = spark.read.parquet(args.labels)
-    for col in ("image_id", "bytes", "fmt", "entity_id", "ts"):
-        assert col in images.columns, f"images table missing {col!r}"
-    for col in ("entity_id", "label_ts"):
-        assert col in labels.columns, f"labels table missing {col!r}"
-
-    feats = extract_image_features(images, args.model)
-    joined = asof_join(
-        labels,
-        feats.select("entity_id", "ts", "embedding"),
-        on=["entity_id"],
-        left_ts="label_ts",
-        right_ts="ts",
+    spec = FeatureJobSpec(
+        images_path=args.images,
+        labels_path=args.labels,
+        output_path=args.output,
+        model=args.model,
         strict=args.strict,
         salt_threshold=args.salt_threshold,
-    )
-    assert_no_leakage(joined, "label_ts", "ts_asof", strict=args.strict)
-    stats = checkpointed_write(
-        joined, args.output, ["entity_id"], num_parts=args.num_parts,
+        num_parts=args.num_parts,
         snapshot_id=args.snapshot_id,
     )
+    stats = run(spark, spec)
     print("JOB_STATS:" + json.dumps(stats))
     spark.stop()
 

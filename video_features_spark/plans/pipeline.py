@@ -1,0 +1,98 @@
+"""Declarative job spec → DataFrame pipeline (the reference's "config is the
+query" surface, Spark-shaped).
+
+The reference drives everything from an OmegaConf DictConfig merged from a
+per-feature YAML + CLI overrides (``/root/reference/main.py:8-10``) and
+validates/rewrites it in ``sanity_check`` (``utils/utils.py:74-132``). Here the
+spec is a frozen dataclass; ``validate`` is the sanity_check analog (device
+fallback becomes model-registry lookup, path rewriting becomes partition
+columns), and ``build`` assembles the logical plan declaratively — Catalyst
+owns the physical plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.embed import MODEL_REGISTRY
+
+
+@dataclass(frozen=True)
+class FeatureJobSpec:
+    """One point-in-time feature-extraction job over the input_hint table."""
+
+    images_path: str
+    labels_path: str
+    output_path: str
+    model: str = "clip-small-det"
+    strict: bool = True              # leakage-free: feature.ts strictly < label_ts
+    salt_threshold: int | None = None  # probe rows/entity before hot-key salting
+    num_parts: int = 64              # checkpoint/resume granularity
+    snapshot_id: str = "snapshot-0"
+    extra_feature_cols: tuple[str, ...] = field(default_factory=tuple)
+
+    def validate(self) -> None:
+        """sanity_check analog (utils/utils.py:74-132): fail fast on the driver."""
+        if self.model not in MODEL_REGISTRY:
+            raise ValueError(
+                f"unknown model {self.model!r}; registry: {sorted(MODEL_REGISTRY)}"
+            )
+        if self.num_parts < 1:
+            raise ValueError("num_parts must be >= 1")
+        if self.salt_threshold is not None and self.salt_threshold < 1:
+            raise ValueError("salt_threshold must be >= 1 when set")
+        if self.output_path in (self.images_path, self.labels_path):
+            raise ValueError("output_path must differ from input paths")  # out≠tmp rule
+
+
+REQUIRED_IMAGE_COLS = ("image_id", "bytes", "fmt", "entity_id", "ts")
+REQUIRED_LABEL_COLS = ("entity_id", "label_ts")
+
+
+def build(spark: SparkSession, spec: FeatureJobSpec) -> DataFrame:
+    """Assemble the flagship logical plan: scan → decode+embed (Arrow UDF) →
+    strict as-of join → leakage-safe training rows. Pure plan construction —
+    nothing executes until the caller writes/collects."""
+    from ..operators.asof import asof_join
+    from ..operators.features import extract_image_features
+
+    spec.validate()
+    images = spark.read.parquet(spec.images_path)
+    labels = spark.read.parquet(spec.labels_path)
+    for c in REQUIRED_IMAGE_COLS:
+        if c not in images.columns:
+            raise ValueError(f"images table missing column {c!r}")
+    for c in REQUIRED_LABEL_COLS:
+        if c not in labels.columns:
+            raise ValueError(f"labels table missing column {c!r}")
+
+    feats = extract_image_features(images, spec.model)
+    right_cols = ["entity_id", "ts", "embedding", *spec.extra_feature_cols]
+    return asof_join(
+        labels,
+        feats.select(*right_cols),
+        on=["entity_id"],
+        left_ts="label_ts",
+        right_ts="ts",
+        strict=spec.strict,
+        salt_threshold=spec.salt_threshold,
+    )
+
+
+def run(spark: SparkSession, spec: FeatureJobSpec) -> dict:
+    """Execute the spec end-to-end with the leakage gate + checkpointed write;
+    returns the writer's resume stats. Re-run after failure to resume."""
+    from ..operators.asof import assert_no_leakage
+    from ..sources.checkpoint import checkpointed_write
+
+    joined = build(spark, spec)
+    assert_no_leakage(joined, "label_ts", "ts_asof", strict=spec.strict)
+    return checkpointed_write(
+        joined,
+        spec.output_path,
+        ["entity_id"],
+        num_parts=spec.num_parts,
+        snapshot_id=spec.snapshot_id,
+    )

@@ -36,6 +36,17 @@ def get_spark(
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     shuffle_partitions = shuffle_partitions or max(2 * cores, 32)
 
+    # make this package importable inside Python UDF workers regardless of the
+    # caller's cwd: local-mode workers inherit the driver process env (a
+    # sys.path.insert on the driver does NOT propagate). On a real cluster
+    # spark-submit --py-files owns this instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
