@@ -334,6 +334,20 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means cells + nprobe probing (rows-only;
+    recall vs brute force gated in tests)."""
+    from video_features_spark.operators.similarity import ivf_ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(emb, q, k=5, n_centroids=16, nprobe=4).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
 def _minhash_oracle() -> str:
     shingles = (
         "SELECT doc_id, unnest(list_distinct(list_transform("
@@ -467,6 +481,22 @@ def _q_image_zero_shot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("image_id", "class_id", "rank", "prob")
 
 
+def _q_caption_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenization of captions (P19: simple_tokenizer semantics over
+    a deterministic trained merge table). Not SQL-expressible → rows-only
+    driver check; the algorithm gates live in tests/test_bpe.py."""
+    from video_features_spark.operators.features import caption_bpe_tokenize
+
+    n = _n_images(sf_dir)
+    imgs = generate_images(spark, n, n_entities=max(n // 50, 1))
+    toks = caption_bpe_tokenize(imgs.select("image_id", "caption"))
+    return toks.select(
+        "image_id",
+        F.size(F.filter("token_ids", lambda t: t != 0)).alias("n_tokens"),
+        F.col("token_ids"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synth images → decode+embed (Arrow UDF) → strict as-of join
     against labels → leakage gate → point-in-time training rows."""
@@ -514,12 +544,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
         "simhash_sigs": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "image_flagship": _q_image_flagship,
         "image_caption_sim": _q_image_caption_sim,
         "image_phash_sessions": _q_image_phash_sessions,
         "image_pair_motion": _q_image_pair_motion,
         "image_stack_pool": _q_image_stack_pool,
         "image_zero_shot": _q_image_zero_shot,
+        "caption_bpe": _q_caption_bpe,
     }
 
 
