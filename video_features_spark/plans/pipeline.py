@@ -57,10 +57,11 @@ def build(spark: SparkSession, spec: FeatureJobSpec) -> DataFrame:
     nothing executes until the caller writes/collects."""
     from ..operators.asof import asof_join
     from ..operators.features import extract_image_features
+    from ..sources.tables import read_snapshot
 
     spec.validate()
-    images = spark.read.parquet(spec.images_path)
-    labels = spark.read.parquet(spec.labels_path)
+    images = read_snapshot(spark, spec.images_path, spec.snapshot_id)
+    labels = read_snapshot(spark, spec.labels_path, spec.snapshot_id)
     for c in REQUIRED_IMAGE_COLS:
         if c not in images.columns:
             raise ValueError(f"images table missing column {c!r}")
