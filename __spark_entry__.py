@@ -239,6 +239,14 @@ def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *cols)
 
 
+def _q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language ID (the n-gram heuristic): per-language fraction
+    of the doc's distinct trigrams found in that language's profile + argmax."""
+    from video_features_spark.operators.text import langid_ngram
+
+    return langid_ngram(_read(spark, sf_dir, "documents"))
+
+
 def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4-style embedding post-transform (vggish_postprocess.py:51-90 semantics:
     clip to [-2,2] → scale to [0,255] → floor): integer outputs so the check is
@@ -536,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,
         "langid_scores": _q_langid,
+        "langid_ngram": _q_langid_ngram,
         "embedding_quantize": _q_embedding_quantize,
         "cosine_topk": _q_cosine_topk,
         "minhash_sigs": _q_minhash_sigs,
@@ -553,6 +562,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_zero_shot": _q_image_zero_shot,
         "caption_bpe": _q_caption_bpe,
     }
+
+
+def _langid_ngram_oracle() -> str:
+    """DuckDB twin of operators.text.langid_ngram, generated from the same
+    TRIGRAM_PROFILES constants so the two can never drift."""
+    from video_features_spark.operators.text import TRIGRAM_PROFILES
+
+    langs = sorted(TRIGRAM_PROFILES)
+    score_cols = ",\n               ".join(
+        "len(list_intersect(grams, ["
+        + ", ".join(f"'{g}'" for g in TRIGRAM_PROFILES[lang])
+        + f"]))::DOUBLE / greatest(len(grams), 1) AS ngram_{lang}"
+        for lang in langs
+    )
+    # earliest language wins ties — same order as the Spark when-chain
+    cases = []
+    for i, lang in enumerate(langs):
+        others = [f"ngram_{lang} >= ngram_{o}" for o in langs[i + 1 :]]
+        cases.append(
+            ("WHEN " + " AND ".join(others) + f" THEN '{lang}'") if others else f"ELSE '{lang}'"
+        )
+    case_sql = "CASE " + " ".join(cases) + " END AS lang_pred"
+    return f"""
+        WITH g AS (
+          SELECT doc_id,
+                 CASE WHEN length(lower(text)) < 3 THEN []::VARCHAR[]
+                      ELSE list_distinct(list_transform(range(1, length(lower(text)) - 1),
+                                         i -> substring(lower(text), i, 3))) END AS grams
+          FROM documents
+        )
+        SELECT doc_id,
+               {score_cols},
+               {case_sql}
+        FROM g
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -680,6 +724,7 @@ def oracle_sql() -> dict[str, str]:
                      / len(string_split_regex(trim(text), '\s+')) AS score_fr
             FROM documents
         """,
+        "langid_ngram": _langid_ngram_oracle(),
         "embedding_quantize": """
             SELECT vec_id,
                    list_sum(list_transform(embedding,

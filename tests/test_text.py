@@ -1,0 +1,43 @@
+"""Text-analysis operators (char-trigram language-ID, quality scoring) vs
+DuckDB oracles + semantic gates on crafted inputs."""
+
+from tests.utils import assert_frames_match
+from video_features_spark.operators.text import langid_ngram, quality_score
+
+
+def test_langid_ngram_vs_oracle(spark, duck, sf_dir):
+    import __spark_entry__ as entrymod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = langid_ngram(docs)
+    oracle = duck.execute(entrymod.oracle_sql()["langid_ngram"]).df()
+    assert_frames_match(res.toPandas(), oracle)
+
+
+def test_langid_ngram_detects_obvious_languages(spark):
+    rows = [
+        (1, "the cat and the dog sat on the mat looking at the window of the house"),
+        (2, "la casa de la montaña es el lugar en el que queremos estar en verano"),
+        (3, "le chien et le chat de la maison que nous avons est un bon compagnon"),
+        (4, "xq"),  # shorter than a trigram: all scores 0, deterministic pred
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in langid_ngram(df).collect()}
+    assert got[1]["lang_pred"] == "en" and got[1]["ngram_en"] > got[1]["ngram_es"]
+    assert got[2]["lang_pred"] == "es"
+    assert got[3]["lang_pred"] == "fr"
+    assert got[4]["ngram_en"] == 0.0 and got[4]["lang_pred"] == "en"  # tie → first
+
+
+def test_quality_score_orders_degenerate_docs(spark):
+    rows = [
+        (1, "A reasonably long and well formed sentence with ordinary words in it "
+            "that keeps going for a while to pass the length gate."),
+        (2, "!!! ??? ### $$$ %%%"),          # punctuation soup
+        (3, "SHOUTING ALL THE TIME HERE"),   # all caps
+        (4, "short"),                        # too short
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    q = {r["doc_id"]: r["quality"] for r in quality_score(df).collect()}
+    assert q[1] > q[2] and q[1] > q[3] and q[1] > q[4]
+    assert q[2] < 0.1  # punctuation soup is near-zero

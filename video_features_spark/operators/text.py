@@ -1,0 +1,98 @@
+"""Text-analysis operators over document/caption columns — all pure JVM
+(whole-stage codegen; no Python in the hot path), each with an ANSI-SQL
+oracle twin in ``__spark_entry__.oracle_sql``.
+
+The reference's only text ops are the CLIP tokenizer cleanup + BPE
+(``/root/reference/models/clip/clip_src/simple_tokenizer.py``); these operators
+are the training-data-pipeline extensions the task brief names: language-ID
+(char-n-gram heuristic), quality scoring, token counting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Compact per-language char-trigram profiles (high-frequency trigrams of each
+# language, public linguistic knowledge). Deliberately small: the operator's
+# job is the *plan shape* (distinct-trigram extraction + set intersection per
+# candidate language); swap richer profiles in production.
+TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "he ", " th", "ing", "and", "nd ", " an", "ng ", " of", "of ",
+           "ed ", " to", "to ", "er ", " in", "on ", " a ", "at ", "is ", " is"),
+    "es": ("de ", " de", "la ", " la", "os ", "el ", " el", " co", "es ", " es",
+           "as ", "ón ", "ión", " en", "en ", "ue ", " qu", "que", "nte", " se"),
+    "fr": (" de", "de ", "es ", "le ", " le", "ent", "nt ", " la", "la ", "et ",
+           " et", "ion", " pa", "re ", " co", "que", " qu", "ue ", "ur ", " un"),
+}
+
+
+def char_trigrams(text_col: str) -> Column:
+    """Distinct lowercase char trigrams of a string column, extracted JVM-side:
+    transform over an index sequence (no UDF, no explode-shuffle)."""
+    t = f"lower({text_col})"
+    # guard: sequence(1, 0) DESCENDS in Spark, so short texts need the branch
+    return F.expr(
+        f"if(length({t}) < 3, array(),"
+        f" array_distinct(transform(sequence(1, length({t}) - 2),"
+        f" i -> substring({t}, i, 3))))"
+    )
+
+
+def langid_ngram(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    profiles: dict[str, tuple[str, ...]] | None = None,
+) -> DataFrame:
+    """Char-trigram language ID: per language, the fraction of the document's
+    distinct trigrams found in that language's profile; ``lang_pred`` is the
+    argmax (ties broken by language-name order, deterministic). Emits
+    ``(id, ngram_<lang>... , lang_pred)``."""
+    profiles = profiles or TRIGRAM_PROFILES
+    grams = char_trigrams(text_col).alias("__g")
+    base = df.select(id_col, grams)
+    scores = [
+        (
+            F.size(F.array_intersect("__g", F.array(*[F.lit(g) for g in prof])))
+            / F.greatest(F.size("__g"), F.lit(1))
+        ).alias(f"ngram_{lang}")
+        for lang, prof in sorted(profiles.items())
+    ]
+    scored = base.select(id_col, *scores)
+    langs = sorted(profiles)
+    best = F.greatest(*[F.col(f"ngram_{lang}") for lang in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):  # earliest language wins ties
+        pred = F.when(F.col(f"ngram_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return scored.withColumn("lang_pred", pred)
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Composite document-quality heuristics (all JVM): length, word count,
+    mean word length, punctuation ratio, uppercase ratio, and a 0..1 composite
+    that penalizes degenerate documents (too short, all-punct, shouting)."""
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_chars = F.length(t)
+    n_words = F.size(words)
+    punct = F.length(F.regexp_replace(t, r"[^\p{Punct}]", ""))
+    upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    mean_wlen = (n_chars.cast("double") / F.greatest(n_words, F.lit(1)))
+    punct_ratio = punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    upper_ratio = upper.cast("double") / F.greatest(n_chars, F.lit(1))
+    composite = (
+        F.least(n_words.cast("double") / F.lit(20.0), F.lit(1.0))
+        * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
+        * (F.lit(1.0) - F.least(upper_ratio * 4, F.lit(1.0)))
+    )
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        composite.alias("quality"),
+    )
