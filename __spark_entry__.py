@@ -312,6 +312,18 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components (iterative min-label
+    propagation with per-round lineage truncation) over the exact-Jaccard
+    pairs; the smallest id of each component is the survivor."""
+    from video_features_spark.operators.dedup import dedup_groups
+
+    pairs = jaccard_pairs(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", n=_SHINGLE_N, threshold=0.5
+    )
+    return dedup_groups(pairs).select("id", "component", "is_kept")
+
+
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup(_read(spark, sf_dir, "embeddings"), "vec_id", threshold=0.4)
 
@@ -386,6 +398,23 @@ _JACCARD_ORACLE = f"""
     SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS jaccard
     FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
     WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
+"""
+
+# connected components over the (oracle-checkable) exact-Jaccard pairs:
+# transitive closure by recursive CTE, component = min reachable id
+_DEDUP_GROUPS_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (
+      SELECT src AS id, least(src, min(dst)) AS component
+      FROM reach GROUP BY src)
+    SELECT id, component, id = component AS is_kept FROM comp
 """
 
 _EMB_NEAR_DUP_ORACLE = """
@@ -549,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "minhash_sigs": _q_minhash_sigs,
         "ngram_jaccard": _q_ngram_jaccard,
+        "dedup_groups": _q_dedup_groups,
         "embedding_near_dup": _q_embedding_near_dup,
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
         "simhash_sigs": _q_simhash,
@@ -734,6 +764,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_sigs": _minhash_oracle(),
         "ngram_jaccard": _JACCARD_ORACLE,
+        "dedup_groups": _DEDUP_GROUPS_ORACLE,
         "embedding_near_dup": _EMB_NEAR_DUP_ORACLE,
         "cosine_topk": """
             WITH base AS (

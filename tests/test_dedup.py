@@ -124,6 +124,21 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert all(qid != vid for qid, vid in approx)
 
 
+def test_connected_components_chain_and_clique(spark):
+    from video_features_spark.operators.dedup import connected_components, dedup_groups
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # clique {10,11,12}, isolated pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    kept = {r["id"] for r in dedup_groups(pairs).filter("is_kept").collect()}
+    assert kept == {1, 10, 20}
+
+
 def test_ivf_ann_recall_and_exactness_at_full_probe(spark, sf_dir):
     from video_features_spark.operators.similarity import ivf_ann_topk
 

@@ -191,6 +191,62 @@ def minhash_dedup(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs → ``(id, component)`` with
+    component = the smallest member id. Iterative min-label propagation
+    (each round: every node adopts the smallest label among itself and its
+    neighbors; converges in O(component diameter) rounds — near-dup clusters
+    are shallow, so typically 2-4).
+
+    Scale notes: each round is one join + one groupBy (shuffle on id);
+    ``localCheckpoint`` truncates the lineage every round — without it the
+    plan doubles per iteration and the driver chokes long before the data
+    does. This is the step that turns verified pairs into dedup groups
+    (keep min(id) per component, drop the rest)."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("component", F.col("id"))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+        )
+        new = (
+            labels.unionByName(nbr_min)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()  # cut lineage: iterative plans grow exponentially
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("component", "__old"), "id")
+            .filter(F.col("component") != F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if not changed:
+            break
+    return labels
+
+
+def dedup_groups(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Pairs → one row per duplicate-cluster member: ``(id, component,
+    is_kept)`` where the smallest id of each component is the survivor."""
+    comp = connected_components(pairs, id_a, id_b)
+    return comp.withColumn("is_kept", F.col("id") == F.col("component"))
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, bits: int = 64
 ) -> DataFrame:
