@@ -77,6 +77,28 @@ def main(sf_dir: str) -> int:
         if unneeded in read_line:
             failures.append(f"image pipeline scan reads unneeded column {unneeded}")
 
+    # 5. as-of join (window strategy): exactly ONE exchange feeding one sort —
+    #    union both sides, hash-partition on the key, sort within partitions,
+    #    streaming window frame. No Python stage, no N×M join.
+    from video_features_spark.operators import asof_join
+
+    probe = ev.select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    build = ev.select("user_id", F.col("ts").cast("timestamp").alias("fts"), "value")
+    p = plan_of(
+        asof_join(probe, build, on=["user_id"], left_ts="ts", right_ts="fts", strict=True)
+    )
+    n_exchanges = p.count(" Exchange ")
+    if n_exchanges > 1:
+        failures.append(f"asof window strategy has {n_exchanges} exchanges (expected 1)")
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        if bad in p:
+            failures.append(f"asof window strategy runs Python ({bad})")
+
+    # 6. image decode+embed pipeline: embarrassingly parallel — NO shuffle
+    p = plan_of(extract_image_features(spark.read.parquet(d)))
+    if " Exchange " in p:
+        failures.append("image pipeline shuffles (should be map-only)")
+
     spark.stop()
     if failures:
         print("PLAN AUDIT FAILURES:")

@@ -28,6 +28,65 @@ def test_png_roundtrip_exact():
         assert (decode_png(encode_png(img)) == img).all()
 
 
+def _encode_png_filtered(arr: np.ndarray, ftype_of_row) -> bytes:
+    """Spec-correct PNG encoder applying filters 1-4 per scanline — foreign
+    encoders emit these; our own encoder only writes filter 0."""
+    import struct
+    import zlib
+
+    from video_features_spark.functions.codec import _PNG_SIG, _chunk
+
+    arr = arr.astype(np.int32)
+    h, w, _ = arr.shape
+    bpp, stride = 3, w * 3
+    flat = arr.reshape(h, stride)
+    out = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        ft = ftype_of_row(y)
+        cur = flat[y]
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - left
+        elif ft == 2:
+            enc = cur - prev
+        elif ft == 3:
+            enc = cur - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            enc = cur - pred
+        out.append(ft)
+        out.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("ftype", [1, 2, 3, 4])
+def test_png_decodes_foreign_filters(ftype):
+    """The decoder's general unfilter path (filters 1-4, PNG spec §9) —
+    exercised per filter type and with mixed per-row filters."""
+    img = _img(ftype, 23, 17)
+    data = _encode_png_filtered(img, lambda y: ftype)
+    assert (decode_png(data) == img).all()
+
+
+def test_png_decodes_mixed_filters():
+    img = _img(9, 40, 31)
+    data = _encode_png_filtered(img, lambda y: y % 5)
+    assert (decode_png(data) == img).all()
+
+
 def test_qjpg_psnr_invariant():
     for seed in range(5):
         img = _img(seed, 101, 97)
