@@ -239,6 +239,17 @@ def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", *cols)
 
 
+def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: quality gate → language gate → near-dup
+    cluster collapse (the composed training-data-pipeline query)."""
+    from video_features_spark.operators.text import curate_corpus
+
+    return curate_corpus(
+        _read(spark, sf_dir, "documents"),
+        min_quality=0.3, lang="en", jaccard_threshold=0.5, shingle_n=_SHINGLE_N,
+    )
+
+
 def _q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram language ID (the n-gram heuristic): per-language fraction
     of the doc's distinct trigrams found in that language's profile + argmax."""
@@ -574,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "langid_scores": _q_langid,
         "langid_ngram": _q_langid_ngram,
+        "curate_corpus": _q_curate_corpus,
         "embedding_quantize": _q_embedding_quantize,
         "cosine_topk": _q_cosine_topk,
         "minhash_sigs": _q_minhash_sigs,
@@ -626,6 +638,55 @@ def _langid_ngram_oracle() -> str:
                {score_cols},
                {case_sql}
         FROM g
+    """
+
+
+def _curate_oracle() -> str:
+    """DuckDB twin of operators.text.curate_corpus with the _q_curate_corpus
+    parameters (min_quality=0.3, lang='en', jaccard 0.5): quality CTE +
+    langid CTE + jaccard over kept docs + recursive-CTE components."""
+    lang_sql = _langid_ngram_oracle()
+    return f"""
+        WITH RECURSIVE quality AS (
+          SELECT doc_id,
+                 least(len(string_split_regex(trim(text), '\\s+'))::DOUBLE / 20.0, 1.0)
+                   * (1.0 - least(length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE
+                                  / greatest(length(text), 1) * 4, 1.0))
+                   * (1.0 - least(length(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
+                                  / greatest(length(text), 1) * 4, 1.0)) AS quality,
+                 len(string_split_regex(trim(text), '\\s+')) AS n_words
+          FROM documents),
+        lang AS ({lang_sql}),
+        kept AS (
+          SELECT d.doc_id, d.text, q.quality, q.n_words, l.lang_pred
+          FROM documents d
+          JOIN quality q USING (doc_id) JOIN lang l USING (doc_id)
+          WHERE q.quality >= 0.3 AND l.lang_pred = 'en'),
+        sh AS (
+          SELECT DISTINCT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT AS h
+          FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(1, greatest(length(text)-{_SHINGLE_N}+1, 1)+1),
+                  i -> substr(text, i::INT, {_SHINGLE_N})))) AS s FROM kept)),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2) x
+          JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+          WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (
+          SELECT src AS id, least(src, min(dst)) AS component FROM reach GROUP BY src)
+        SELECT k.doc_id, k.lang_pred, k.quality, k.n_words
+        FROM kept k LEFT JOIN comp c ON k.doc_id = c.id
+        WHERE c.id IS NULL OR c.id = c.component
     """
 
 
@@ -755,6 +816,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "langid_ngram": _langid_ngram_oracle(),
+        "curate_corpus": _curate_oracle(),
         "embedding_quantize": """
             SELECT vec_id,
                    list_sum(list_transform(embedding,

@@ -29,6 +29,34 @@ def test_langid_ngram_detects_obvious_languages(spark):
     assert got[4]["ngram_en"] == 0.0 and got[4]["lang_pred"] == "en"  # tie → first
 
 
+def test_curate_corpus_vs_oracle(spark, duck, sf_dir):
+    import __spark_entry__ as entrymod
+
+    from video_features_spark.operators.text import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = curate_corpus(docs, min_quality=0.3, lang="en", jaccard_threshold=0.5)
+    oracle = duck.execute(entrymod.oracle_sql()["curate_corpus"]).df()
+    assert_frames_match(res.toPandas(), oracle)
+
+
+def test_curate_corpus_drops_dups_keeps_singletons(spark):
+    from video_features_spark.operators.text import curate_corpus
+
+    base = ("the cat and the dog sat on the mat looking at the window of the "
+            "house while the rain was falling on the garden all day long")
+    rows = [
+        (1, base),
+        (2, base + " x"),     # near-dup of 1 → dropped (1 survives)
+        (3, "the sun was shining over the green hills and the river ran "
+            "through the valley where the children were playing games"),
+        (4, "!!! ??? ###"),   # fails quality gate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r["doc_id"] for r in curate_corpus(df, min_quality=0.3, lang="en").collect()}
+    assert kept == {1, 3}
+
+
 def test_quality_score_orders_degenerate_docs(spark):
     rows = [
         (1, "A reasonably long and well formed sentence with ordinary words in it "

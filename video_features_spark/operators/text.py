@@ -67,6 +67,40 @@ def langid_ngram(
     return scored.withColumn("lang_pred", pred)
 
 
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    lang: str | None = "en",
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """End-to-end corpus curation — the composition a training-data pipeline
+    actually runs: quality gate → language gate → near-dup cluster collapse
+    (keep the smallest id of each connected component). Every stage is a
+    DataFrame operator defined elsewhere in this package; the whole thing is
+    one logical plan Catalyst optimizes jointly (the quality/lang filters
+    prune rows *before* the expensive shingle self-join).
+
+    Emits (id, lang_pred, quality, n_words) for surviving documents.
+    """
+    from .dedup import dedup_groups, jaccard_pairs
+
+    q = quality_score(df, text_col, id_col).select(id_col, "quality", "n_words")
+    l = langid_ngram(df, text_col, id_col).select(id_col, "lang_pred")
+    kept = df.join(q, id_col).join(l, id_col).filter(F.col("quality") >= min_quality)
+    if lang is not None:
+        kept = kept.filter(F.col("lang_pred") == lang)
+    pairs = jaccard_pairs(kept, id_col, text_col, n=shingle_n, threshold=jaccard_threshold)
+    groups = dedup_groups(pairs).withColumnRenamed("id", id_col)
+    return (
+        kept.join(groups.select(id_col, "is_kept"), id_col, "left")
+        .filter(F.col("is_kept").isNull() | F.col("is_kept"))  # singletons survive
+        .select(id_col, "lang_pred", "quality", "n_words")
+    )
+
+
 def quality_score(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
