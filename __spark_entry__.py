@@ -187,6 +187,25 @@ def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP (engine breadth beyond the reference;
+    map-side partial agg, one shuffle)."""
+    orders = _read(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.sum("o_totalprice").alias("sum_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def _q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations via CUBE."""
+    orders = _read(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.sum("o_totalprice").alias("sum_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: keep the first (min event_id) row per (user_id, event_type)."""
     ev = _read(spark, sf_dir, "events")
@@ -580,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_lineitem": _q_stats,
         "distinct_guard": _q_distinct_guard,
         "tpch_q1": _q_tpch_q1,
+        "rollup_sales": _q_rollup_sales,
+        "cube_sales": _q_cube_sales,
         "dedup_exact": _q_dedup_exact,
         "token_count": _q_token_count,
         "text_quality": _q_text_quality,
@@ -780,6 +801,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "rollup_sales": """
+            SELECT o_orderpriority, o_orderstatus,
+                   sum(o_totalprice) AS sum_price, count(*) AS n_orders
+            FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        """,
+        "cube_sales": """
+            SELECT o_orderpriority, o_orderstatus,
+                   sum(o_totalprice) AS sum_price, count(*) AS n_orders
+            FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
         """,
         "dedup_exact": """
             SELECT user_id, event_type, min(event_id) AS keep_event_id,
