@@ -187,6 +187,24 @@ def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority query (TPC-H Q3 shape): selective dim filter →
+    broadcast-joined to orders → shuffle join to lineitem → agg + top-10.
+    Catalyst broadcasts the filtered customer side (plan_audit-checked shape);
+    the orders⨝lineitem join shuffles on the key."""
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
 def _q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals via ROLLUP (engine breadth beyond the reference;
     map-side partial agg, one shuffle)."""
@@ -599,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_lineitem": _q_stats,
         "distinct_guard": _q_distinct_guard,
         "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
         "rollup_sales": _q_rollup_sales,
         "cube_sales": _q_cube_sales,
         "dedup_exact": _q_dedup_exact,
@@ -801,6 +820,19 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   sum(l_extendedprice * (1 - l_discount)) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1998-01-01'
+              AND l_shipdate > DATE '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
         """,
         "rollup_sales": """
             SELECT o_orderpriority, o_orderstatus,
