@@ -127,6 +127,33 @@ def test_caption_backfill(spark, images):
     assert before > 0 and after < before
 
 
+def test_embedding_backfill_array_column(spark, images):
+    """North rule: backfill of missing *embeddings* — the fill value is an
+    array<float> column, carried intact from the donor row."""
+    feats = extract_image_features(images)
+    holey = feats.withColumn(
+        "embedding",
+        F.when(F.xxhash64("image_id") % 3 == 0, None).otherwise(F.col("embedding")),
+    )
+    filled = backfill(holey, ["entity_id"], "ts", ["embedding"])
+    n_null_before = holey.filter("embedding is null").count()
+    n_null_after = filled.filter("embedding_filled is null").count()
+    assert n_null_before > 0 and n_null_after < n_null_before
+    # a filled row's vector equals the nearest preceding non-null row's vector
+    r = (
+        filled.filter(F.col("embedding").isNull() & F.col("embedding_filled").isNotNull())
+        .limit(1).collect()
+    )
+    if r:
+        ent, ts, vec = r[0]["entity_id"], r[0]["ts"], r[0]["embedding_filled"]
+        donor = (
+            holey.filter((F.col("entity_id") == ent) & (F.col("ts") < ts)
+                         & F.col("embedding").isNotNull())
+            .orderBy(F.desc("ts")).limit(1).collect()
+        )
+        assert donor and donor[0]["embedding"] == vec
+
+
 def test_caption_embedding_and_similarity(spark, images):
     caps = embed_caption_column(images.select("image_id", "caption", "entity_id", "ts", "bytes", "fmt"))
     feats = extract_image_features(images).join(
