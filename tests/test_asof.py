@@ -65,3 +65,68 @@ def test_leakage_gate(spark, sf_dir):
     assert_no_leakage(res, "ts", "o_orderdate_asof", strict=True)
     # matched rows exist at all (the gate isn't vacuous)
     assert res.filter(F.col("o_orderdate_asof").isNotNull()).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Property-based: random tiny tables vs a local pd.merge_asof reference
+# ---------------------------------------------------------------------------
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_row = st.tuples(st.integers(0, 3), st.integers(0, 20))  # (entity, ts-seconds)
+
+
+def _ref_asof(probe: pd.DataFrame, build: pd.DataFrame, strict: bool) -> pd.DataFrame:
+    probe = probe.sort_values("ts", kind="mergesort").reset_index(drop=True)
+    build = build.sort_values("fts", kind="mergesort").reset_index(drop=True)
+    out = pd.merge_asof(
+        probe, build, left_on="ts", right_on="fts", by="e",
+        direction="backward", allow_exact_matches=not strict,
+    )
+    return out.rename(columns={"fts": "fts_asof"})
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    probe_rows=st.lists(_row, min_size=1, max_size=25),
+    build_rows=st.lists(_row, min_size=0, max_size=25),
+    strict=st.booleans(),
+    strategy=st.sampled_from(["window", "merge"]),
+)
+def test_asof_property_vs_pandas(spark, probe_rows, build_rows, strict, strategy):
+    """Duplicate probe timestamps, empty build sides, equal-ts boundaries,
+    entities present on only one side — all must match pd.merge_asof. Build
+    keys deduped: multiple build rows at one (entity, ts) are ambiguous by
+    construction (any engine may pick either payload)."""
+    base = pd.Timestamp("2024-01-01")
+    probe = pd.DataFrame(
+        {"e": [r[0] for r in probe_rows],
+         "ts": [base + pd.Timedelta(seconds=r[1]) for r in probe_rows]}
+    )
+    probe["pid"] = range(len(probe))
+    build = pd.DataFrame(
+        {"e": pd.array([r[0] for r in build_rows], dtype="int64"),
+         "fts": pd.to_datetime([base + pd.Timedelta(seconds=r[1]) for r in build_rows])}
+    ).drop_duplicates(["e", "fts"])
+    build["val"] = (build["e"] * 1000 + build["fts"].astype("int64") % 997).astype("int64")
+
+    sp = spark.createDataFrame(probe, "e long, ts timestamp, pid long")
+    sb = (
+        spark.createDataFrame(build, "e long, fts timestamp, val long")
+        if len(build)
+        else spark.createDataFrame([], "e long, fts timestamp, val long")
+    )
+    got = (
+        asof_join(sp, sb, on=["e"], left_ts="ts", right_ts="fts",
+                  strict=strict, strategy=strategy)
+        .toPandas()
+        .sort_values("pid", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    ref = _ref_asof(probe, build, strict).sort_values("pid", kind="mergesort").reset_index(drop=True)
+    assert got["pid"].tolist() == ref["pid"].tolist()
+    assert got["val"].astype("float64").equals(ref["val"].astype("float64"))
+    got_ts = pd.to_datetime(got["fts_asof"])
+    ref_ts = pd.to_datetime(ref["fts_asof"])
+    assert got_ts.isna().equals(ref_ts.isna()) and (got_ts.dropna() == ref_ts.dropna()).all()
