@@ -132,6 +132,19 @@ def test_resize_and_crop_shapes():
     assert out.shape == (32, 32, 3) and out.dtype == np.float32
 
 
+def test_batched_preprocess_bit_equals_per_image():
+    """clip_preprocess_batch must match the per-image path EXACTLY — any GEMM
+    accumulation-order divergence would break determinism across batch splits."""
+    from video_features_spark.functions.preprocess import clip_preprocess_batch
+
+    for h, w in [(64, 96), (96, 64), (20, 20), (32, 48)]:
+        imgs = [_img(s, h, w) for s in range(5)]
+        batched = clip_preprocess_batch(np.stack(imgs), 32)
+        for i, im in enumerate(imgs):
+            single = clip_preprocess(im, 32)
+            assert np.array_equal(batched[i], single), f"size {(h, w)} row {i} diverged"
+
+
 def test_preprocess_deterministic():
     img = _img(11, 64, 48)
     a, b = clip_preprocess(img, 32), clip_preprocess(img, 32)

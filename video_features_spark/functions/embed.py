@@ -93,20 +93,38 @@ def _pool(batch: np.ndarray) -> np.ndarray:
 
 
 def embed_pixels(batch: np.ndarray, model_name: str) -> np.ndarray:
-    """B×S×S×3 preprocessed float32 → B×D L2-normalized float32 embeddings."""
+    """B×S×S×3 preprocessed float32 → B×D L2-normalized float32 embeddings.
+
+    The projection runs through the fixed-tile matmul (preprocess._tiled_matmul)
+    so a row's embedding is bit-identical regardless of how many images share
+    its Arrow batch — BLAS kernel choice varies with the m dimension otherwise."""
+    from .preprocess import _tiled_matmul
+
     spec, w_img, _ = get_model(model_name)
     feats = _pool(batch.astype(np.float32))
-    emb = np.tanh(feats @ w_img.T)
+    emb = np.tanh(_tiled_matmul(np.ascontiguousarray(feats), w_img.T))
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
     return (emb / np.maximum(norms, 1e-12)).astype(np.float32)
 
 
 def preprocess_and_embed(images: list[np.ndarray], model_name: str) -> np.ndarray:
     """Decode-side entry: raw uint8 H×W×3 images (mixed sizes) → embeddings.
-    Preprocess per the model's input_size (CLIP chain), then batch-forward."""
+    Images are grouped by (H, W) so the CLIP preprocess chain runs as batched
+    GEMMs per size group (sizes repeat heavily in real corpora); results are
+    bit-equal to the per-image path (tested). Embedding forward is per-row
+    independent, so output order/partitioning never affects values."""
+    from .preprocess import clip_preprocess_batch
+
     spec, _, _ = get_model(model_name)
-    pre = np.stack([clip_preprocess(im, spec.input_size) for im in images])
-    return embed_pixels(pre, model_name)
+    s = spec.input_size
+    out = np.empty((len(images), s, s, 3), np.float32)
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, im in enumerate(images):
+        groups.setdefault(im.shape[:2], []).append(i)
+    for idxs in groups.values():
+        batch = np.stack([images[i] for i in idxs])
+        out[idxs] = clip_preprocess_batch(batch, s)
+    return embed_pixels(out, model_name)
 
 
 # ---------------------------------------------------------------------------
