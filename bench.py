@@ -29,7 +29,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_IMAGES = int(os.environ.get("BENCH_IMAGES", "400000"))
-SCALE_IMAGES = int(os.environ.get("BENCH_SCALE_IMAGES", "24000"))
+SCALE_IMAGES = int(os.environ.get("BENCH_SCALE_IMAGES", "16000"))
 SCALE_MODEL = os.environ.get("BENCH_SCALE_MODEL", "clip-vit-b32-det")
 CORES_LO = max(CPUS // 4, 1)
 
