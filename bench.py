@@ -121,42 +121,60 @@ def _timed(label: str, fn, *a, **kw):
 
 
 def main() -> None:
+    t_start = time.time()
+    budget = int(os.environ.get("BENCH_BUDGET_SEC", "780"))
     _timed("prepare_headline", prepare_data, N_IMAGES)
     _timed("prepare_scale", prepare_data, SCALE_IMAGES)
     _timed("prepare_warm", prepare_data, 2000)
-    # scaling study first (cold, fair): the SAME pipeline with the
-    # compute-realistic 224px model (~10 ms/img — real CLIP CPU inference
-    # territory). With the light model the job is memory-bandwidth-bound and
-    # *nothing* scales on one box (the raw-pool ceiling drops to ~0.33); the
-    # north rule's N→4N criterion is about executors that each bring their own
-    # memory subsystem, which the compute-bound regime faithfully represents
-    # in-sandbox. A settle pause between runs keeps one run's thermal/IO tail
-    # from biasing the next (lo is the sensitive one).
     settle = int(os.environ.get("BENCH_SETTLE_SEC", "5"))
-    lo_s = _timed("scale_lo", run_worker, CORES_LO, SCALE_IMAGES, model=SCALE_MODEL)
+    # headline throughput first — the metric's "value" must always land even
+    # when the host is in a degraded window and later phases get skipped
+    hi = _timed("headline", run_worker, CPUS, N_IMAGES, queries=True)
     time.sleep(settle)
-    hi_s = _timed("scale_hi", run_worker, CPUS, SCALE_IMAGES, model=SCALE_MODEL)
-    time.sleep(settle)
+
+    def in_budget() -> bool:
+        left = budget - (time.time() - t_start)
+        if left < 60:
+            sys.stderr.write(f"[bench] budget exhausted ({left:.0f}s left); skipping remaining phases\n")
+            return False
+        return True
+
+    # scaling study: the SAME pipeline with the compute-realistic 224px model
+    # (~10 ms/img — real CLIP CPU inference territory). With the light model
+    # the job is memory-bandwidth-bound and *nothing* scales on one box (the
+    # raw-pool ceiling drops to ~0.33); the north rule's N→4N criterion is
+    # about executors that each bring their own memory subsystem, which the
+    # compute-bound regime faithfully represents in-sandbox.
+    lo_s = hi_s = hw_lo = hw_hi = None
+    if in_budget():
+        lo_s = _timed("scale_lo", run_worker, CORES_LO, SCALE_IMAGES, model=SCALE_MODEL)
+        time.sleep(settle)
+    if lo_s and in_budget():
+        hi_s = _timed("scale_hi", run_worker, CPUS, SCALE_IMAGES, model=SCALE_MODEL)
+        time.sleep(settle)
+        # interference guard: this host shows sporadic 30-60s slowdown windows
+        # (one bimodally-slow rep; hits the raw pool and Spark alike). 4x the
+        # cores delivering LESS absolute throughput than 1x is physically
+        # nonsensical for a compute-bound kernel — re-measure that run once.
+        if hi_s["images_per_sec"] < lo_s["images_per_sec"] and in_budget():
+            hi_s = _timed("scale_hi_retry", run_worker, CPUS, SCALE_IMAGES, model=SCALE_MODEL)
+            time.sleep(settle)
     # hardware ceiling: the identical kernel under a raw multiprocessing pool —
     # no Spark, no JVM — bounds what ANY engine could scale on this shared box.
-    hw_lo = _timed("hw_lo", run_worker, CORES_LO, SCALE_IMAGES, hw=True, model=SCALE_MODEL)
-    time.sleep(settle)
-    hw_hi = _timed("hw_hi", run_worker, CPUS, SCALE_IMAGES, hw=True, model=SCALE_MODEL)
-    time.sleep(settle)
-    # headline throughput last: the fast sandbox model (engine overhead visible)
-    hi = _timed("headline", run_worker, CPUS, N_IMAGES, queries=True)
-    # interference guard: this host shows sporadic 30-60s slowdown windows
-    # (visible as one bimodally-slow rep; hits the raw pool and Spark alike).
-    # 4x the cores delivering LESS absolute throughput than 1x is physically
-    # nonsensical for a compute-bound kernel — it means the window swallowed
-    # every rep of that run; measure that run once more.
-    if hi_s["images_per_sec"] < lo_s["images_per_sec"]:
-        hi_s = _timed("scale_hi_retry", run_worker, CPUS, SCALE_IMAGES, model=SCALE_MODEL)
-    if hw_hi["images_per_sec"] < hw_lo["images_per_sec"]:
-        hw_hi = _timed("hw_hi_retry", run_worker, CPUS, SCALE_IMAGES, hw=True, model=SCALE_MODEL)
+    if hi_s and in_budget():
+        hw_lo = _timed("hw_lo", run_worker, CORES_LO, SCALE_IMAGES, hw=True, model=SCALE_MODEL)
+        time.sleep(settle)
+    if hw_lo and in_budget():
+        hw_hi = _timed("hw_hi", run_worker, CPUS, SCALE_IMAGES, hw=True, model=SCALE_MODEL)
+        if hw_hi["images_per_sec"] < hw_lo["images_per_sec"] and in_budget():
+            hw_hi = _timed("hw_hi_retry", run_worker, CPUS, SCALE_IMAGES, hw=True, model=SCALE_MODEL)
     ratio = CPUS / CORES_LO
-    efficiency = hi_s["images_per_sec"] / (lo_s["images_per_sec"] * ratio)
-    hw_efficiency = hw_hi["images_per_sec"] / (hw_lo["images_per_sec"] * ratio)
+    efficiency = (
+        hi_s["images_per_sec"] / (lo_s["images_per_sec"] * ratio) if lo_s and hi_s else None
+    )
+    hw_efficiency = (
+        hw_hi["images_per_sec"] / (hw_lo["images_per_sec"] * ratio) if hw_lo and hw_hi else None
+    )
     sf = 0.1
     m = re.search(r"sf([\d.]+)", SF_DIR)
     if m:
@@ -174,18 +192,24 @@ def main() -> None:
             "cores_hi": CPUS,
             "model": SCALE_MODEL,
             "images": SCALE_IMAGES,
-            "images_per_sec_lo": lo_s["images_per_sec"],
-            "images_per_sec_hi": hi_s["images_per_sec"],
-            "efficiency": round(efficiency, 3),
+            # null fields = phase skipped by the time budget on a degraded
+            # host; the committed study lives in BASELINE.md "Measured results"
+            "images_per_sec_lo": lo_s["images_per_sec"] if lo_s else None,
+            "images_per_sec_hi": hi_s["images_per_sec"] if hi_s else None,
+            "efficiency": round(efficiency, 3) if efficiency else None,
             # same kernel, raw multiprocessing pool, no Spark/JVM: what this
             # shared-memory box itself can scale 8→32 (LLC/bandwidth bound)
-            "hw_ceiling_images_per_sec_lo": hw_lo["images_per_sec"],
-            "hw_ceiling_images_per_sec_hi": hw_hi["images_per_sec"],
-            "hw_ceiling_efficiency": round(hw_efficiency, 3),
+            "hw_ceiling_images_per_sec_lo": hw_lo["images_per_sec"] if hw_lo else None,
+            "hw_ceiling_images_per_sec_hi": hw_hi["images_per_sec"] if hw_hi else None,
+            "hw_ceiling_efficiency": round(hw_efficiency, 3) if hw_efficiency else None,
             # engine-attributable scaling: Spark efficiency relative to the
             # hardware's own ceiling — the north rule's quantity on a real
             # cluster, where 4N executors bring 4x the memory subsystems
-            "efficiency_vs_hw_ceiling": round(min(efficiency / hw_efficiency, 1.0), 3),
+            "efficiency_vs_hw_ceiling": (
+                round(min(efficiency / hw_efficiency, 1.0), 3)
+                if efficiency and hw_efficiency
+                else None
+            ),
         },
     }
     print(json.dumps(result))
