@@ -566,6 +566,37 @@ def _q_image_zero_shot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("image_id", "class_id", "rank", "prob")
 
 
+def _q_image_phash_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North rule verbatim: as-of join keyed by PHASH with explicit salting of
+    hot phash buckets. The synthetic corpus is heavy-tailed by construction
+    (two base patterns own ~30% of rows → hot phash keys); probes are each
+    image's phash 5 minutes later, features are phash-keyed embeddings.
+    Strict + leakage-gated. Rows-only (images are generated)."""
+    n = _n_images(sf_dir)
+    imgs = generate_images(spark, n, n_entities=max(n // 50, 1))
+    feats = extract_image_features(imgs, "clip-small-det", id_cols=("image_id", "phash", "ts"))
+    probes = imgs.select(
+        "image_id",
+        "phash",
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("label_ts"),
+    )
+    joined = asof_join(
+        probes,
+        feats.select("phash", "ts", "embedding"),
+        on=["phash"],
+        left_ts="label_ts",
+        right_ts="ts",
+        strict=True,
+        salt_threshold=max(n // 20, 10),  # hot phash buckets get salted
+        num_salts=8,
+    )
+    assert_no_leakage(joined, "label_ts", "ts_asof", strict=True)
+    return joined.select(
+        "image_id", "phash", "label_ts", "ts_asof",
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x).alias("emb_sq_norm"),
+    )
+
+
 def _q_caption_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE tokenization of captions (P19: simple_tokenizer semantics over
     a deterministic trained merge table). Not SQL-expressible → rows-only
@@ -643,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stack_pool": _q_image_stack_pool,
         "image_zero_shot": _q_image_zero_shot,
         "caption_bpe": _q_caption_bpe,
+        "image_phash_asof": _q_image_phash_asof,
     }
 
 
