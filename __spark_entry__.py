@@ -307,7 +307,7 @@ def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.aggregate(quant, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
     )
 
 
@@ -606,10 +606,14 @@ def _q_caption_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _n_images(sf_dir)
     imgs = generate_images(spark, n, n_entities=max(n // 50, 1))
     toks = caption_bpe_tokenize(imgs.select("image_id", "caption"))
+    # scalar columns only: the driver canonicalizer sorts values, and raw array
+    # columns are unhashable there — digest the sequence instead
     return toks.select(
         "image_id",
         F.size(F.filter("token_ids", lambda t: t != 0)).alias("n_tokens"),
-        F.col("token_ids"),
+        F.xxhash64(
+            F.concat_ws(",", F.transform("token_ids", lambda t: t.cast("string")))
+        ).alias("token_digest"),
     )
 
 
@@ -797,10 +801,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": """
             SELECT event_id, user_id, ts,
-                   sum(CASE WHEN prev_ts IS NULL
+                   (sum(CASE WHEN prev_ts IS NULL
                              OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
             FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
                   FROM events)
         """,
@@ -915,8 +919,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": """
             SELECT vec_id,
                    list_sum(list_transform(embedding,
-                       x -> floor((least(greatest(x, -2.0), 2.0) + 2.0) * (255.0/4.0))::BIGINT)) AS q_sum,
-                   len(embedding) AS dim
+                       x -> floor((least(greatest(x, -2.0), 2.0) + 2.0) * (255.0/4.0))::BIGINT))::BIGINT AS q_sum,
+                   len(embedding)::BIGINT AS dim
             FROM embeddings
         """,
         "minhash_sigs": _minhash_oracle(),
