@@ -94,7 +94,7 @@ def _q_asof(strategy: str, salt: int | None = None):
 
 def _q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
-    return lag_lead(ev, ["user_id"], "ts", "value").select(
+    return lag_lead(ev, ["user_id"], "ts", "value", tiebreak_col="event_id").select(
         "event_id", "user_id", "ts", "value", "value_lag1", "value_lead1"
     )
 
@@ -103,21 +103,23 @@ def _q_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events").withColumn(
         "value", F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value"))
     )
-    return backfill(ev, ["user_id"], "ts", ["value"]).select(
+    return backfill(ev, ["user_id"], "ts", ["value"], tiebreak_col="event_id").select(
         "event_id", "user_id", "ts", "value", "value_filled"
     )
 
 
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
-    return sessionize(ev, ["user_id"], "ts", 1800).select(
+    return sessionize(ev, ["user_id"], "ts", 1800, tiebreak_col="event_id").select(
         "event_id", "user_id", "ts", "session_id"
     )
 
 
 def _q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
-    return resample(ev, ["user_id"], "ts", 86400.0).select("user_id", "ts", "event_id")
+    return resample(ev, ["user_id"], "ts", 86400.0, tiebreak_col="event_id").select(
+        "user_id", "ts", "event_id"
+    )
 
 
 def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,7 +138,7 @@ def _q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_sliding_stacks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events")
-    return sliding_stacks(ev, ["user_id"], "ts", "value", 8, 4, "avg").select(
+    return sliding_stacks(ev, ["user_id"], "ts", "value", 8, 4, "avg", tiebreak_col="event_id").select(
         "user_id", "stack_start_idx", "stack_agg", "stack_end_ts"
     )
 
@@ -377,8 +379,9 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash→LSH→verify chain (rows-only: banding uses xxhash64, which
-    DuckDB lacks; recall-vs-exact is gated in tests/test_dedup.py)."""
+    """Full MinHash→LSH→verify chain. Banding hashes are md5-prefix ints, so
+    DuckDB reproduces candidate generation AND verification exactly — the
+    whole pipeline is oracle-checked, not just its stages."""
     return minhash_dedup(
         _read(spark, sf_dir, "documents"), "doc_id", "text",
         n_hashes=32, bands=8, shingle_n=_SHINGLE_N, threshold=0.5,
@@ -386,8 +389,19 @@ def _q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (rows-only: xxhash64 is engine-specific)."""
+    """SimHash signatures (md5-prefix token hash → engine-neutral, oracled)."""
     return simhash_signatures(_read(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_embedding_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked near-dup (the 100 TB path: bucket self-join, no cartesian).
+    Oracle generated from the same seeded plane literals."""
+    from video_features_spark.operators.dedup import embedding_near_dup_blocked
+
+    return embedding_near_dup_blocked(
+        _read(spark, sf_dir, "embeddings"), "vec_id",
+        dim=64, threshold=0.4, n_planes=4, n_tables=4,
+    )
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,6 +505,22 @@ def _n_images(sf_dir: str) -> int:
     return _SF_ROWS.get(os.path.basename(sf_dir.rstrip("/")), 1000)
 
 
+def _assert_empty(df: DataFrame, cond, msg: str) -> None:
+    """In-query invariant for rows-only queries: generation is deterministic,
+    so expected counts/bounds are computable from the parameters — a silent
+    operator regression turns into a loud driver error instead of an
+    unchecked row count."""
+    n = df.filter(cond).limit(1).count()
+    if n:
+        raise AssertionError(f"invariant violated: {msg}")
+
+
+def _assert_count(df: DataFrame, expected: int, msg: str) -> None:
+    n = df.count()
+    if n != expected:
+        raise AssertionError(f"invariant violated: {msg}: got {n}, expected {expected}")
+
+
 def _q_image_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _n_images(sf_dir)
     n_ent = max(n // 50, 1)
@@ -505,13 +535,22 @@ def _q_image_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="ts",
         strict=True,
     )
-    return joined.select(
+    out = joined.select(
         "entity_id",
         "label_ts",
         "label",
         F.col("ts_asof"),
         F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x).alias("emb_sq_norm"),
     )
+    assert_no_leakage(out, "label_ts", "ts_asof", strict=True)
+    _assert_count(out, n // 2, "one output row per label probe")
+    _assert_empty(
+        out,
+        F.col("emb_sq_norm").isNotNull()
+        & ((F.col("emb_sq_norm") > 1.0 + 1e-4) | (F.col("emb_sq_norm") < 1.0 - 1e-4)),
+        "embeddings are L2-normalized: squared norm must be 1",
+    )
+    return out
 
 
 def _q_image_caption_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,15 +559,33 @@ def _q_image_caption_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_image_features(imgs, "clip-small-det")
     caps = embed_caption_column(imgs.select("image_id", "caption"), "clip-small-det")
     both = feats.join(caps, "image_id")
-    return image_text_similarity(both).select("image_id", "img_txt_sim")
+    out = image_text_similarity(both).select("image_id", "img_txt_sim")
+    _assert_count(out, n, "one similarity row per image")
+    _assert_empty(
+        out,
+        F.col("img_txt_sim").isNotNull() & (F.abs("img_txt_sim") > 100.0 + 1e-3),
+        "logit = 100 * cosine of unit vectors: |logit| <= 100",
+    )
+    return out
 
 
 def _q_image_phash_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _n_images(sf_dir)
     imgs = generate_images(spark, n, n_entities=max(n // 50, 1))
-    return sessionize(imgs, ["phash"], "ts", gap_seconds=3600).select(
+    out = sessionize(imgs, ["phash"], "ts", gap_seconds=3600, tiebreak_col="image_id").select(
         "image_id", "phash", "ts", "session_id"
     )
+    _assert_count(out, n, "sessionize is row-preserving")
+    grp = out.groupBy("phash").agg(
+        F.min("session_id").alias("lo"), F.max("session_id").alias("hi"),
+        F.count(F.lit(1)).alias("cnt"), F.countDistinct("session_id").alias("nsess"),
+    )
+    _assert_empty(
+        grp,
+        (F.col("lo") != 1) | (F.col("hi") > F.col("cnt")) | (F.col("hi") != F.col("nsess")),
+        "session ids must be dense 1..n_sessions within each phash group",
+    )
+    return out
 
 
 def _q_image_pair_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -536,8 +593,24 @@ def _q_image_pair_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from video_features_spark.operators.temporal_features import consecutive_pair_features
 
     n = _n_images(sf_dir)
-    imgs = generate_images(spark, n, n_entities=max(n // 50, 1))
-    return consecutive_pair_features(imgs)
+    n_ent = max(n // 50, 1)
+    imgs = generate_images(spark, n, n_entities=n_ent)
+    out = consecutive_pair_features(imgs)
+    _assert_count(out, n - n_ent, "T frames per entity yield T-1 pairs")
+    _assert_empty(
+        out,
+        F.col("error").isNull()
+        & ((F.col("mean_abs_motion") < 0) | (F.col("changed_frac") < 0)
+           | (F.col("changed_frac") > 1)),
+        "pair features must be in range when no error",
+    )
+    _assert_empty(
+        out,
+        F.col("error").isNotNull()
+        & (F.col("mean_abs_motion").isNotNull() | F.col("changed_frac").isNotNull()),
+        "quarantined rows carry null features",
+    )
+    return out
 
 
 def _q_image_stack_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,10 +621,19 @@ def _q_image_stack_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = generate_images(spark, n, n_entities=max(n // 50, 1))
     feats = extract_image_features(imgs, "clip-small-det")
     pooled = stack_mean_pool(feats, stack_size=8, step_size=4)
-    return pooled.select(
+    out = pooled.select(
         "entity_id", "stack_start_idx", "stack_ts",
         F.aggregate("stack_embedding", F.lit(0.0), lambda a, x: a + x * x).alias("stack_sq_norm"),
     )
+    n_ent = max(n // 50, 1)
+    per_entity = n // n_ent
+    _assert_count(out, n_ent * ((per_entity - 8) // 4 + 1), "complete stacks per entity")
+    _assert_empty(
+        out,
+        (F.col("stack_sq_norm") > 1.0 + 1e-4) | (F.col("stack_sq_norm") <= 0),
+        "mean of unit vectors has norm in (0, 1]",
+    )
+    return out
 
 
 def _q_image_zero_shot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,9 +643,16 @@ def _q_image_zero_shot(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = min(_n_images(sf_dir), 500)
     imgs = generate_images(spark, n, n_entities=max(n // 50, 1))
     feats = extract_image_features(imgs, "clip-small-det")
-    return zero_shot_classify(
+    out = zero_shot_classify(
         feats, ["a photo of a cat", "a landscape", "a vehicle", "food"], top_k=3
     ).select("image_id", "class_id", "rank", "prob")
+    _assert_count(out, n * 3, "exactly top_k rows per image")
+    _assert_empty(
+        out,
+        (F.col("prob") <= 0) | (F.col("prob") > 1) | (F.col("rank") < 1) | (F.col("rank") > 3),
+        "probs in (0, 1], rank in 1..top_k",
+    )
+    return out
 
 
 def _q_image_phash_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "dedup_groups": _q_dedup_groups,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_blocked": _q_embedding_near_dup_blocked,
         "minhash_lsh_dedup": _q_minhash_lsh_dedup,
         "simhash_sigs": _q_simhash,
         "ann_lsh_topk": _q_ann_lsh,
@@ -680,6 +770,140 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_bpe": _q_caption_bpe,
         "image_phash_asof": _q_image_phash_asof,
     }
+
+
+def _minhash_lsh_oracle(n_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    """DuckDB twin of operators.dedup.minhash_dedup, generated from the same
+    hash params and band construction so the two can never drift: signatures →
+    md5-prefix band hashes → candidate self-join → exact Jaccard on candidates."""
+    rpb = n_hashes // bands
+    shingles = (
+        "SELECT doc_id, unnest(list_distinct(list_transform("
+        f"range(1, greatest(length(text)-{_SHINGLE_N}+1, 1)+1), "
+        f"i -> substr(text, i::INT, {_SHINGLE_N})))) AS s FROM documents"
+    )
+    mins = ", ".join(
+        f"min(({a}*h + {b}) % 4294967311) AS m{i}"
+        for i, (a, b) in enumerate(_hash_params(n_hashes))
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        "('0x'||substr(md5(concat_ws(',', "
+        + ", ".join(f"m{b * rpb + j}" for j in range(rpb))
+        + f", 'b{b}')),1,8))::BIGINT AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH sh AS (SELECT DISTINCT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT AS h
+                    FROM ({shingles})),
+        sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+        banded AS ({band_selects}),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS i
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.h = a.h
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, i::DOUBLE / (sa.sz + sb.sz - i) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= {threshold}
+    """
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    """DuckDB twin of operators.dedup.simhash_signatures (md5-prefix token
+    hash, weighted bit votes, sign)."""
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN w ELSE -w END) AS v{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits))
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+          FROM documents),
+        wt AS (SELECT doc_id, tok, count(*) AS w FROM toks GROUP BY 1, 2),
+        ht AS (SELECT doc_id, ('0x'||substr(md5(tok),1,8))::BIGINT AS h, w FROM wt),
+        votes AS (SELECT doc_id, {votes} FROM ht GROUP BY doc_id)
+        SELECT doc_id, ({sig})::BIGINT AS simhash FROM votes
+    """
+
+
+def _lsh_bucket_sql(emb: str, dim: int, n_planes: int, n_tables: int, seed: int = 7) -> list[str]:
+    """One DuckDB bucket expression per hash table, generated from the SAME
+    seeded plane literals operators.similarity bakes into the Spark plan."""
+    from video_features_spark.operators.similarity import _planes
+
+    exprs = []
+    for t in range(n_tables):
+        bits = []
+        for i, plane in enumerate(_planes(dim, n_planes, seed + 1009 * t)):
+            lits = ", ".join(repr(float(v)) for v in plane)
+            dot = f"list_sum(list_transform(list_zip({emb}, [{lits}]), p -> p[1]*p[2]))"
+            bits.append(f"CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END")
+        exprs.append("(" + " + ".join(bits) + ")")
+    return exprs
+
+
+def _ann_lsh_oracle(k: int = 5, dim: int = 64, n_planes: int = 2, n_tables: int = 4) -> str:
+    """DuckDB twin of the lsh_ann_topk driver query (vec_id < 5 queries)."""
+    buckets = _lsh_bucket_sql("embedding", dim, n_planes, n_tables)
+    cb_cols = ", ".join(f"{b} AS b{t}" for t, b in enumerate(buckets))
+    collide = " OR ".join(f"c.b{t} = q.qb{t}" for t in range(n_tables))
+    q_cols = ", ".join(f"b{t} AS qb{t}" for t in range(n_tables))
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> x*x))) AS nrm
+          FROM embeddings),
+        cb AS (SELECT vec_id, embedding, nrm, {cb_cols} FROM base),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm, {q_cols}
+              FROM cb WHERE vec_id < 5),
+        cand AS (
+          SELECT DISTINCT q.query_id, c.vec_id, c.embedding, c.nrm, q.q_emb, q.q_nrm
+          FROM cb c JOIN q ON c.vec_id <> q.query_id AND ({collide})),
+        sims AS (
+          SELECT query_id, vec_id,
+                 list_sum(list_transform(list_zip(embedding, q_emb),
+                                         p -> p[1]*p[2])) / (nrm * q_nrm) AS cos
+          FROM cand)
+        SELECT query_id, vec_id, rank FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM sims)
+        WHERE rank <= {k}
+    """
+
+
+def _near_dup_blocked_oracle(threshold: float = 0.4, dim: int = 64,
+                             n_planes: int = 4, n_tables: int = 4) -> str:
+    """DuckDB twin of embedding_near_dup_blocked (same plane literals)."""
+    buckets = _lsh_bucket_sql("embedding", dim, n_planes, n_tables)
+    cb_cols = ", ".join(f"{b} AS b{t}" for t, b in enumerate(buckets))
+    collide = " OR ".join(f"a.b{t} = b.b{t}" for t in range(n_tables))
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> x*x))) AS nrm
+          FROM embeddings),
+        cb AS (SELECT vec_id, embedding, nrm, {cb_cols} FROM base),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                 a.embedding AS e_a, a.nrm AS n_a, b.embedding AS e_b, b.nrm AS n_b
+          FROM cb a JOIN cb b ON a.vec_id < b.vec_id AND ({collide}))
+        SELECT id_a, id_b, cos FROM (
+          SELECT id_a, id_b,
+                 list_sum(list_transform(list_zip(e_a, e_b),
+                                         p -> p[1]*p[2])) / (n_a * n_b) AS cos
+          FROM cand)
+        WHERE cos >= {threshold}
+    """
 
 
 def _langid_ngram_oracle() -> str:
@@ -769,15 +993,15 @@ def _curate_oracle() -> str:
 def oracle_sql() -> dict[str, str]:
     qualify_stacks = """
         WITH idx AS (
-          SELECT user_id, ts, value,
-                 row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS i,
+          SELECT user_id, ts, value, event_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
                  count(*) OVER (PARTITION BY user_id) AS n
           FROM events)
         SELECT user_id, i AS stack_start_idx,
                avg(value) OVER w AS stack_agg,
                last_value(ts) OVER w AS stack_end_ts
         FROM idx
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)
         QUALIFY i % 4 = 0 AND i + 8 <= n
     """
@@ -812,7 +1036,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, ts, event_id FROM (
               SELECT user_id, ts, event_id,
                      row_number() OVER (PARTITION BY user_id, floor(epoch(ts)/86400.0)
-                                        ORDER BY ts) AS rn
+                                        ORDER BY ts, event_id) AS rn
               FROM events)
             WHERE rn = 1
         """,
@@ -927,6 +1151,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _JACCARD_ORACLE,
         "dedup_groups": _DEDUP_GROUPS_ORACLE,
         "embedding_near_dup": _EMB_NEAR_DUP_ORACLE,
+        "embedding_near_dup_blocked": _near_dup_blocked_oracle(),
+        "minhash_lsh_dedup": _minhash_lsh_oracle(),
+        "simhash_sigs": _simhash_oracle(),
+        "ann_lsh_topk": _ann_lsh_oracle(),
         "cosine_topk": """
             WITH base AS (
               SELECT vec_id, embedding,

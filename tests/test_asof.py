@@ -130,3 +130,33 @@ def test_asof_property_vs_pandas(spark, probe_rows, build_rows, strict, strategy
     got_ts = pd.to_datetime(got["fts_asof"])
     ref_ts = pd.to_datetime(ref["fts_asof"])
     assert got_ts.isna().equals(ref_ts.isna()) and (got_ts.dropna() == ref_ts.dropna()).all()
+
+
+@pytest.mark.parametrize("strategy", ["window", "merge"])
+def test_asof_duplicate_build_ts_deterministic(spark, strategy):
+    """Build rows sharing (key, ts) with DIFFERENT payloads: the chosen row
+    must be deterministic (max payload-hash) across partitionings and
+    identical between the two strategies."""
+    probe = spark.createDataFrame(
+        [("k1", 100), ("k1", 50), ("k2", 100)], "key string, ts long"
+    ).select("key", F.timestamp_seconds("ts").alias("ts"))
+    build = spark.createDataFrame(
+        [("k1", 10, "a"), ("k1", 10, "b"), ("k1", 10, "c"), ("k2", 10, "x"), ("k2", 10, "y")],
+        "key string, fts long, payload string",
+    ).select("key", F.timestamp_seconds("fts").alias("fts"), "payload")
+
+    def run(b, strat):
+        res = asof_join(
+            probe, b, on=["key"], left_ts="ts", right_ts="fts",
+            strict=True, strategy=strat,
+        )
+        return sorted((r["key"], r["ts"], r["payload"]) for r in res.collect())
+
+    base = run(build.repartition(1), strategy)
+    assert base == run(build.repartition(7), strategy)
+    assert base == run(build.orderBy(F.desc("payload")).repartition(3), strategy)
+    # both strategies pick the SAME winner among the duplicate-(key, ts) rows
+    other = "merge" if strategy == "window" else "window"
+    assert base == run(build, other)
+    # every probe matched something (ts > build ts for all)
+    assert all(p is not None for _, _, p in base)

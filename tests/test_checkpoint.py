@@ -105,3 +105,27 @@ def test_snapshot_isolation(spark, base):
     assert s["parts_skipped"] == 0  # snapB starts fresh
     m = load_manifest(spark, base)
     assert {r["snapshot_id"] for r in m.select("snapshot_id").distinct().collect()} == {"snapA", "snapB"}
+
+
+def test_write_restores_session_conf(spark, base):
+    from video_features_spark.sources.checkpoint import checkpointed_write
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "static")
+    df = spark.range(100).withColumn("k", F.col("id") % 10)
+    checkpointed_write(df, base, ["k"], num_parts=4)
+    assert spark.conf.get(key) == "static"  # shared session not mutated
+    spark.conf.unset(key)
+
+
+def test_verify_clean_after_multi_snapshot_overwrite(spark, base):
+    """Re-using a base with a NEW snapshot overwrites partitions; verify must
+    trust only the latest manifest row per partition — no false drift."""
+    from video_features_spark.sources.checkpoint import checkpointed_write, verify_manifest
+
+    df1 = spark.range(100).withColumn("k", F.col("id") % 10).withColumn("v", F.lit(1))
+    checkpointed_write(df1, base, ["k"], num_parts=4, snapshot_id="snap-1")
+    df2 = spark.range(100).withColumn("k", F.col("id") % 10).withColumn("v", F.lit(2))
+    checkpointed_write(df2, base, ["k"], num_parts=4, snapshot_id="snap-2")
+    drift = verify_manifest(spark, base)
+    assert drift.count() == 0, drift.collect()

@@ -153,3 +153,55 @@ def test_ivf_ann_recall_and_exactness_at_full_probe(spark, sf_dir):
     full = {(r["query_id"], r["vec_id"]) for r in
             ivf_ann_topk(emb, q, k=5, n_centroids=8, nprobe=8).collect()}
     assert full == exact
+
+
+def test_minhash_dedup_jaccard_values_are_exact(corpus):
+    """The candidate-restricted verifier must return the same jaccard VALUES
+    as the full exact computation for every verified pair."""
+    verified = minhash_dedup(corpus, "doc_id", "text", 32, 8, 5, threshold=0.7)
+    exact = jaccard_pairs(corpus, "doc_id", "text", 5, threshold=0.7)
+    j = verified.join(
+        exact.withColumnRenamed("jaccard", "jaccard_exact"), ["id_a", "id_b"], "left"
+    )
+    assert j.filter(F.col("jaccard_exact").isNull()).count() == 0  # precision exact
+    assert j.filter(F.abs(F.col("jaccard") - F.col("jaccard_exact")) > 1e-12).count() == 0
+
+
+def test_embedding_near_dup_blocked_matches_planted_and_plan(spark, sf_dir):
+    """Blocked near-dup finds the planted dups, is a subset of brute force,
+    and its physical plan contains NO nested-loop join over the corpus."""
+    from video_features_spark.operators.dedup import embedding_near_dup_blocked
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = emb.filter("vec_id < 3").select(
+        (F.col("vec_id") + 9000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    df = emb.select("vec_id", "embedding").unionByName(planted)
+    blocked = embedding_near_dup_blocked(df, "vec_id", dim=64, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in blocked.collect()}
+    assert {(0, 9000), (1, 9001), (2, 9002)} <= got
+    brute = {(r["id_a"], r["id_b"])
+             for r in embedding_near_dup(df, "vec_id", threshold=0.999).collect()}
+    assert got <= brute  # verify step keeps precision exact
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_ivf_centroid_fit_no_global_sort(spark, sf_dir):
+    """The centroid sample must compile to TakeOrderedAndProject (per-partition
+    top-k), not a full Sort+Exchange of the corpus."""
+    from video_features_spark.operators.similarity import ivf_fit_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sampled = (
+        emb.select(F.xxhash64("vec_id").alias("__h"), F.col("embedding"))
+        .orderBy("__h")
+        .limit(64)
+    )
+    plan = sampled._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # determinism across partitionings
+    a = ivf_fit_centroids(emb.repartition(2), n_centroids=8, sample_size=128)
+    b = ivf_fit_centroids(emb.repartition(13), n_centroids=8, sample_size=128)
+    assert (a == b).all()

@@ -81,6 +81,18 @@ def test_zero_shot_classify(spark, images):
     classes = ["a photo of a cat", "a photo of a dog", "a landscape", "a vehicle", "food"]
     res = zero_shot_classify(feats, classes, top_k=3).cache()
     assert res.groupBy("image_id").count().filter("count != 3").count() == 0
+    # softmax normalizes over ALL classes (reference semantics), so the
+    # surviving top-3 sum to < 1 while a full-k run sums to exactly 1
     probs = res.groupBy("image_id").agg(F.sum("prob").alias("p")).collect()
-    assert all(abs(r["p"] - 1.0) < 1e-6 for r in probs)  # softmax over top-k
+    assert all(0 < r["p"] < 1 + 1e-9 for r in probs)
+    full = zero_shot_classify(feats, classes, top_k=len(classes)).cache()
+    fp = full.groupBy("image_id").agg(F.sum("prob").alias("p")).collect()
+    assert all(abs(r["p"] - 1.0) < 1e-6 for r in fp)
+    # truncating to top-k must not change the prob values themselves
+    j = res.select("image_id", "class_id", "prob").join(
+        full.select("image_id", "class_id", F.col("prob").alias("prob_full")),
+        ["image_id", "class_id"],
+    )
+    assert j.count() == res.count()
+    assert j.filter(F.abs(F.col("prob") - F.col("prob_full")) > 1e-9).count() == 0
     assert res.filter((F.col("rank") == 1) & (F.col("prob") <= 0)).count() == 0

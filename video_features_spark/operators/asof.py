@@ -124,6 +124,15 @@ def asof_join(
     raise ValueError(f"strategy must be window|merge, got {strategy!r}")
 
 
+def _build_tiebreak(right_cols, asof_ts):
+    """Deterministic tiebreak among build rows sharing (key, ts): xxhash64 of
+    the full build payload. Without it, which duplicate-(key, ts) build row the
+    as-of join picks depends on input partitioning/order (datagen produces such
+    dups: same phash+ts, different embeddings). Both strategies use the SAME
+    hash so window and merge pick the same winner: the max-hash row."""
+    return F.xxhash64(F.struct(*[F.col(c) for c in right_cols], F.col(asof_ts)))
+
+
 def _asof_window(
     left, right, on, left_ts, right_ts, right_cols, strict, salt_threshold, num_salts
 ):
@@ -153,10 +162,14 @@ def _asof_window(
             *[F.col(c) for c in right_cols], F.col(right_ts).cast("timestamp").alias(asof_ts)
         ).alias("__rpay"),
     )
-    u = l_u.unionByName(r_u)
+    u = l_u.unionByName(r_u).withColumn(
+        "__tb",
+        F.when(F.col("__tag") == build_tag, _build_tiebreak(["__rpay." + c for c in right_cols], f"__rpay.{asof_ts}"))
+        .otherwise(F.lit(0)),
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__tag")
+        .orderBy("__ts", "__tag", "__tb")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.withColumn("__fill", F.last("__rpay", ignorenulls=True).over(w))
@@ -189,6 +202,11 @@ def _asof_merge(
         *keys,
         F.col(right_ts).cast("timestamp").alias("__rts"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        # same payload hash as the window strategy so both pick the same
+        # winner among duplicate-(key, ts) build rows
+        F.xxhash64(
+            F.struct(*[F.col(c) for c in right_cols], F.col(right_ts).cast("timestamp"))
+        ).alias("__tb"),
         bucket,
     )
 
@@ -215,7 +233,9 @@ def _asof_merge(
                 merged[c] = None
             merged[asof_ts] = pd.NaT
             return merged[lcols + right_cols + [asof_ts]]
-        rpdf = rpdf.sort_values("__rts", kind="mergesort")
+        # ties on __rts resolved by the payload hash: merge_asof backward picks
+        # the LAST eligible row, so the max-hash duplicate wins (matches window)
+        rpdf = rpdf.sort_values(["__rts", "__tb"], kind="mergesort")
         rpdf[asof_ts] = rpdf["__rts"]
         merged = pd.merge_asof(
             lpdf,

@@ -136,27 +136,29 @@ def minhash_signatures(
     return agg.select(id_col, F.array(*[f"__m{i}" for i in range(n_hashes)]).alias("minhash"))
 
 
+def band_hash_expr(sig_col: str, band: int, rows_per_band):
+    """Band hash = md5-prefix of the band's signature values joined with ','
+    plus a band marker — engine-neutral (DuckDB computes the identical value:
+    ``('0x'||substr(md5(concat_ws(',', m_i, ..., 'b<band>')),1,8))::BIGINT``),
+    which makes the whole LSH chain oracle-checkable in SQL."""
+    start = F.lit(band) * rows_per_band + 1
+    vals = F.transform(
+        F.slice(F.col(sig_col), start, rows_per_band), lambda x: x.cast("string")
+    )
+    return shingle_hash(F.concat_ws(",", vals, F.lit(f"b{band}")))
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame, id_col: str, bands: int = 8, sig_col: str = "minhash"
 ) -> DataFrame:
     """Band the signature, hash each band, self-join on (band, band_hash):
     classic MinHash-LSH candidate generation. Signature length must be
     divisible by ``bands``."""
-    rows_per_band = F.size(F.col(sig_col)) / bands
+    rows_per_band = (F.size(F.col(sig_col)) / bands).cast("int")
     banded = sig_df.select(
         id_col,
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bnd: F.xxhash64(
-                    F.slice(
-                        F.col(sig_col),
-                        (bnd * rows_per_band + 1).cast("int"),
-                        rows_per_band.cast("int"),
-                    ),
-                    bnd,
-                ),
-            )
+            F.array(*[band_hash_expr(sig_col, b, rows_per_band) for b in range(bands)])
         ).alias("band", "band_hash"),
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
@@ -166,6 +168,38 @@ def lsh_candidate_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    sh: DataFrame, pairs: DataFrame, id_col: str, threshold: float = 0.0
+) -> DataFrame:
+    """Exact Jaccard restricted to a given candidate pair list — the verifier
+    LSH exists to feed. Only candidate pairs' shingles are joined: the pair
+    list (small, post-LSH) broadcasts into the shingle table, so the cost is
+    O(candidates × shingles-per-doc), never the full-corpus shingle self-join.
+
+    ``sh`` is a ``shingle_table`` output; ``pairs`` has (id_a, id_b)."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sha = sh.select(F.col(id_col).alias("id_a"), "h")
+    shb = sh.select(F.col(id_col).alias("id_b"), "h")
+    inter = (
+        sha.join(F.broadcast(pairs), "id_a")
+        .join(shb, ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -179,16 +213,14 @@ def minhash_dedup(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash → LSH banding → candidate pairs →
-    exact-Jaccard verification ≥ threshold. Returns verified (id_a, id_b,
-    jaccard) pairs."""
+    exact-Jaccard verification ≥ threshold, computed ONLY over the LSH
+    candidates (the pruning is the whole point — verifying against a
+    full-corpus Jaccard would re-introduce the O(n²) shingle self-join).
+    Returns verified (id_a, id_b, jaccard) pairs."""
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     cands = lsh_candidate_pairs(sigs, id_col, bands)
-    exact = jaccard_pairs(df, id_col, text_col, shingle_n, threshold=0.0)
-    return (
-        cands.join(exact, ["id_a", "id_b"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    sh = shingle_table(df, id_col, text_col, shingle_n)
+    return jaccard_on_pairs(sh, cands, id_col, threshold)
 
 
 def connected_components(
@@ -248,17 +280,20 @@ def dedup_groups(
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
 ) -> DataFrame:
-    """SimHash: per-token 64-bit hash (xxhash64), weighted bit-vote, sign →
-    signature. Near-dup docs differ in few bits (compare with hamming64).
-    Engine-specific hash ⇒ rows-only driver check; gated by pytest invariants."""
+    """SimHash: per-token hash (md5-prefix, 32 usable bits — the same
+    engine-neutral hash as shingles, so DuckDB reproduces the signature
+    bit-for-bit and the driver oracle-checks it), weighted bit-vote, sign →
+    signature. Near-dup docs differ in few bits (compare with hamming64)."""
+    if bits > 32:
+        raise ValueError("md5-prefix hash provides 32 bits; bits must be <= 32")
     toks = df.select(
         id_col,
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__tok"),
     )
     weighted = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("w"))
-    h = F.xxhash64("__tok")
+    h = shingle_hash(F.col("__tok"))
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))
@@ -295,5 +330,53 @@ def embedding_near_dup(
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", (dot / (F.col("n_a") * F.col("n_b"))).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_near_dup_blocked(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """The SCALE path for embedding near-dup: hyperplane-LSH blocking →
+    bucket-local exact-cosine verify ≥ threshold. Candidates are pairs that
+    collide in ANY of ``n_tables`` independent hash tables — the self-join runs
+    on (table, bucket), never all-pairs, so the plan has no nested-loop join
+    over the corpus (`embedding_near_dup` above stays as the exact/oracle
+    twin). At cos ≥ 0.95 the per-table collision prob is ~0.66 with 4 planes;
+    4 tables give ~99% recall. Planes are seeded literals, so the whole chain
+    is deterministic AND SQL-reproducible (the driver oracle is generated from
+    the same literals)."""
+    from .similarity import _multi_table_buckets
+
+    b = _multi_table_buckets(df.select(id_col, emb_col), emb_col, dim, n_planes, n_tables, seed)
+    norm = F.sqrt(F.aggregate(emb_col, F.lit(0.0), lambda acc, x: acc + x * x))
+    b = b.select(
+        F.col(id_col).alias("__id"), F.col(emb_col).alias("__e"), norm.alias("__n"),
+        "lsh_table", "lsh_bucket",
+    )
+    a = b.select(
+        F.col("__id").alias("id_a"), F.col("__e").alias("e_a"), F.col("__n").alias("n_a"),
+        "lsh_table", "lsh_bucket",
+    )
+    c = b.select(
+        F.col("__id").alias("id_b"), F.col("__e").alias("e_b"), F.col("__n").alias("n_b"),
+        "lsh_table", "lsh_bucket",
+    )
+    cand = (
+        a.join(c, ["lsh_table", "lsh_bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "e_a", "n_a", "e_b", "n_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dot = F.aggregate(F.zip_with("e_a", "e_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        cand.select("id_a", "id_b", (dot / (F.col("n_a") * F.col("n_b"))).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )

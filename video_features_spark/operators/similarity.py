@@ -65,21 +65,32 @@ def ivf_fit_centroids(
     seed: int = 7,
 ) -> np.ndarray:
     """Deterministic spherical k-means on a fixed sample → (n_centroids, dim)
-    float32, L2-normalized. The sample is the first ``sample_size`` rows by
-    ``id_col`` (stable under any partitioning); at 10^12-row scale swap in
-    ``df.sample(fraction, seed)`` — the centroids only need to be
-    representative, the assignment pass below is what scales."""
+    float32, L2-normalized. The sample is the ``sample_size`` rows with the
+    smallest ``xxhash64(id)`` — a deterministic pseudo-random draw that is
+    stable under any partitioning and compiles to TakeOrderedAndProject
+    (per-partition top-k, k rows to the driver), NOT a full global sort; the
+    centroids only need to be representative, the assignment pass below is
+    what scales."""
     rows = (
-        corpus.select(id_col, emb_col)
-        .orderBy(id_col)
+        corpus.select(F.xxhash64(id_col).alias("__h"), F.col(emb_col))
+        .orderBy("__h")
         .limit(sample_size)
         .select(emb_col)
         .collect()
     )
     x = np.array([r[0] for r in rows], dtype=np.float32)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    rng = np.random.default_rng(seed)
-    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    # deterministic farthest-point init (k-means++ greedy flavor): spreads the
+    # seeds across the sphere instead of gambling on a random draw — recall at
+    # low nprobe is much less sensitive to the sample than with random init
+    k = min(n_centroids, len(x))
+    cents = np.empty((k, x.shape[1]), np.float32)
+    cents[0] = x[0]
+    best_sim = x @ cents[0]
+    for c in range(1, k):
+        i = int(np.argmin(best_sim))  # least similar to every chosen seed
+        cents[c] = x[i]
+        best_sim = np.maximum(best_sim, x @ cents[c])
     for _ in range(iters):
         sims = x @ cents.T
         assign = sims.argmax(axis=1)

@@ -90,6 +90,7 @@ def stack_mean_pool(
     emb_col: str = "embedding",
     stack_size: int = 8,
     step_size: int = 4,
+    max_group_rows: int = 100_000,
 ) -> DataFrame:
     """Clip-level embeddings: slide a window of ``stack_size`` frame embeddings
     per entity (advance ``step_size``, complete stacks only) and mean-pool each
@@ -107,6 +108,13 @@ def stack_mean_pool(
     )
 
     def pool(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one group = one entity's full history in one task; a runaway entity
+        # would OOM the executor silently — fail loudly with the culprit instead
+        if len(pdf) > max_group_rows:
+            raise ValueError(
+                f"entity {pdf[entity_col].iloc[0]!r} has {len(pdf)} rows > "
+                f"max_group_rows={max_group_rows}; pre-window or raise the cap"
+            )
         pdf = pdf.sort_values(ts_col, kind="mergesort").reset_index(drop=True)
         n = len(pdf)
         rows = []
@@ -160,11 +168,14 @@ def zero_shot_classify(
     scored = image_feats.crossJoin(F.broadcast(cls_df)).select(
         id_col, "class_id", "class_caption", (F.lit(logit_scale) * dot).alias("logit")
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("logit"), F.asc("class_id"))
-    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= top_k)
-    # softmax over the top-k logits (reference softmaxes then sorts; same order)
+    # softmax over ALL classes (reference softmaxes the full logit row before
+    # ranking, extract_clip.py:100-104) — normalizing after the top-k filter
+    # would inflate probs whenever top_k < n_classes. Both windows share the
+    # id_col partitioning, so the rank sort rides the same exchange.
     wsum = Window.partitionBy(id_col)
-    return ranked.withColumn(
+    probs = scored.withColumn(
         "prob", F.exp(F.col("logit") - F.max("logit").over(wsum))
         / F.sum(F.exp(F.col("logit") - F.max("logit").over(wsum))).over(wsum),
     )
+    w = Window.partitionBy(id_col).orderBy(F.desc("logit"), F.asc("class_id"))
+    return probs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= top_k)

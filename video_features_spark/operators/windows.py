@@ -26,8 +26,11 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-def _w(entity_cols: Sequence[str], order_col: str):
-    return Window.partitionBy(*entity_cols).orderBy(order_col)
+def _w(entity_cols: Sequence[str], order_col: str, tiebreak_col: str | None = None):
+    # optional unique tiebreak keeps results deterministic (and oracle-equal)
+    # when the order column has ties within an entity
+    order = [order_col] if tiebreak_col is None else [order_col, tiebreak_col]
+    return Window.partitionBy(*entity_cols).orderBy(*order)
 
 
 def _epoch_seconds(col: Column) -> Column:
@@ -42,6 +45,7 @@ def lag_lead(
     order_col: str,
     value_col: str,
     offsets: Sequence[int] = (1,),
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Per-entity lag/lead columns over event time.
 
@@ -52,7 +56,7 @@ def lag_lead(
     batcher; in DataFrame land ``F.lag/F.lead`` frames span Arrow-batch
     boundaries for free.
     """
-    w = _w(entity_cols, order_col)
+    w = _w(entity_cols, order_col, tiebreak_col)
     out = df
     for k in offsets:
         out = out.withColumn(f"{value_col}_lag{k}", F.lag(value_col, k).over(w))
@@ -66,6 +70,7 @@ def backfill(
     order_col: str,
     value_cols: Sequence[str],
     direction: str = "forward",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Fill nulls from the last (or next) non-null observation per entity.
 
@@ -75,10 +80,10 @@ def backfill(
     forward: last non-null at or before the row; backward: next at or after.
     """
     if direction == "forward":
-        w = _w(entity_cols, order_col).rowsBetween(Window.unboundedPreceding, 0)
+        w = _w(entity_cols, order_col, tiebreak_col).rowsBetween(Window.unboundedPreceding, 0)
         fill = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
     elif direction == "backward":
-        w = _w(entity_cols, order_col).rowsBetween(0, Window.unboundedFollowing)
+        w = _w(entity_cols, order_col, tiebreak_col).rowsBetween(0, Window.unboundedFollowing)
         fill = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     else:
         raise ValueError(f"direction must be forward|backward, got {direction!r}")
@@ -94,6 +99,7 @@ def sessionize(
     ts_col: str,
     gap_seconds: float,
     session_col: str = "session_id",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the time since the
     previous event of the same entity exceeds ``gap_seconds``.
@@ -102,7 +108,7 @@ def sessionize(
     session id = running sum of is-new-session flags — two window functions over
     ONE partitioning, so one shuffle total.
     """
-    w = _w(entity_cols, ts_col)
+    w = _w(entity_cols, ts_col, tiebreak_col)
     prev_ts = F.lag(ts_col).over(w)
     gap = _epoch_seconds(F.col(ts_col)) - _epoch_seconds(prev_ts)
     is_new = F.when(prev_ts.isNull() | (gap > F.lit(float(gap_seconds))), 1).otherwise(0)
@@ -115,6 +121,7 @@ def resample(
     ts_col: str,
     every_seconds: float,
     keep: str = "first",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Keep one row per (entity, time-bucket): row resampling as a *filter*.
 
@@ -125,8 +132,10 @@ def resample(
     the source level the bucket predicate partition-prunes on Iceberg.
     """
     bucket = F.floor(_epoch_seconds(F.col(ts_col)) / F.lit(float(every_seconds)))
-    order = F.asc(ts_col) if keep == "first" else F.desc(ts_col)
-    w = Window.partitionBy(*entity_cols, bucket).orderBy(order)
+    order = [F.asc(ts_col)] if keep == "first" else [F.desc(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.asc(tiebreak_col))
+    w = Window.partitionBy(*entity_cols, bucket).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -165,6 +174,7 @@ def sliding_stacks(
     stack_size: int,
     step_size: int,
     agg: str = "count",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Complete sliding windows of ``stack_size`` rows advanced by ``step_size``,
     aggregating ``value_col`` per window; partial (incomplete) windows dropped.
@@ -184,7 +194,7 @@ def sliding_stacks(
     aggs = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
     if agg not in aggs:
         raise ValueError(f"agg must be one of {sorted(aggs)}")
-    w_order = _w(entity_cols, order_col)
+    w_order = _w(entity_cols, order_col, tiebreak_col)
     w_frame = w_order.rowsBetween(0, stack_size - 1)
     idx = F.row_number().over(w_order) - 1  # 0-based, reference's frame index
     n = F.count(F.lit(1)).over(Window.partitionBy(*entity_cols))

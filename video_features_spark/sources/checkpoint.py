@@ -79,11 +79,11 @@ def checkpointed_write(
     Call again after any failure: completed partitions are not recomputed.
     """
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     keyed = with_partition_id(df, key_cols, num_parts)
 
     manifest = load_manifest(spark, base_path)
     done: set[int] = set()
+    seq = 0
     if manifest is not None:
         done = {
             r[PART_COL]
@@ -92,17 +92,31 @@ def checkpointed_write(
             .distinct()
             .collect()
         }
+        # monotone write sequence: verify_manifest trusts only the LATEST row
+        # per partition, so re-writing a base with a new snapshot never leaves
+        # stale rows that report false drift
+        seq = (manifest.agg(F.max("manifest_seq")).first()[0] or 0) + 1
 
     todo = keyed.filter(~F.col(PART_COL).isin(*done)) if done else keyed
     out_cols = [c for c in keyed.columns if c != PART_COL]
 
     stats = {"parts_total": num_parts, "parts_skipped": len(done)}
-    # materialize once: write data, then derive manifest rows from what landed
-    (
-        todo.write.mode("overwrite")
-        .partitionBy(PART_COL)
-        .parquet(_data_path(base_path))
-    )
+    # dynamic partition overwrite ONLY for this write — restore the session's
+    # prior setting afterwards (a shared session must not be mutated for good)
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # materialize once: write data, then derive manifest rows from what landed
+        (
+            todo.write.mode("overwrite")
+            .partitionBy(PART_COL)
+            .parquet(_data_path(base_path))
+        )
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
     written = spark.read.parquet(_data_path(base_path))
     new_parts = written.filter(~F.col(PART_COL).isin(*done)) if done else written
     manifest_rows = (
@@ -114,6 +128,7 @@ def checkpointed_write(
             F.max(key_cols[0]).cast("string").alias("key_max"),
         )
         .withColumn("snapshot_id", F.lit(snapshot_id))
+        .withColumn("manifest_seq", F.lit(seq))
     )
     manifest_rows.write.mode("append").parquet(_manifest_path(base_path))
 
@@ -130,11 +145,20 @@ def read_checkpointed(spark: SparkSession, base_path: str) -> DataFrame:
 
 
 def verify_manifest(spark: SparkSession, base_path: str) -> DataFrame:
-    """Recount + re-checksum every data partition against its manifest row;
-    returns the partitions that disagree (empty DataFrame == healthy)."""
+    """Recount + re-checksum every data partition against its LATEST manifest
+    row (max manifest_seq — earlier rows describe overwritten data); returns
+    the partitions that disagree (empty DataFrame == healthy)."""
+    from pyspark.sql import Window
+
     manifest = load_manifest(spark, base_path)
     if manifest is None:
         raise FileNotFoundError(f"no manifest under {base_path}")
+    latest = Window.partitionBy(PART_COL).orderBy(F.desc("manifest_seq"))
+    manifest = (
+        manifest.withColumn("__rn", F.row_number().over(latest))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     data = spark.read.parquet(_data_path(base_path))
     out_cols = [c for c in data.columns if c != PART_COL]
     actual = data.groupBy(PART_COL).agg(
