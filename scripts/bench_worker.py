@@ -194,8 +194,12 @@ def timed_run(args) -> None:
         headline = [
             "asof_window", "asof_merge", "asof_salted", "lag_lead", "backfill",
             "sessionize", "resample", "topk_per_group", "sliding_stacks",
-            "tumbling_daily", "tpch_q1", "dedup_exact", "cosine_topk",
+            "tumbling_daily", "tpch_q1", "tpch_q3", "dedup_exact", "cosine_topk",
             "token_count", "embedding_quantize",
+            # dedup/text suite (the scale-path operators need timings too)
+            "curate_corpus", "dedup_groups", "minhash_lsh_dedup",
+            "embedding_near_dup_blocked", "ann_lsh_topk", "simhash_sigs",
+            "langid_ngram", "text_quality",
         ]
         for name in headline:
             t0 = time.time()

@@ -186,3 +186,57 @@ def test_phash_sessionize(spark, images):
     s = sessionize(images, ["phash"], "ts", gap_seconds=3600)
     assert s.count() == N
     assert s.agg(F.max("session_id")).first()[0] >= 1
+
+
+def test_registered_checkpoint_is_distributed_verified_and_used(spark, tmp_path):
+    """The real-weights path: .npz → SparkContext.addFile → SHA256 pin →
+    executor workers load THROUGH SparkFiles inside the Arrow UDF. Constant
+    weights make every embedding dim equal after tanh+L2 — impossible under
+    the seeded weights, so this proves the checkpoint is what ran."""
+    import numpy as np
+    import pytest as _pytest
+
+    from video_features_spark.functions import embed
+    from video_features_spark.sources.datagen import generate_images
+
+    spec = embed.MODEL_REGISTRY["clip-small-det"]
+    w_img = np.full((spec.dim, embed._FEAT_IN), 0.01, np.float32)
+    w_txt = np.full((spec.dim, 512), 0.01, np.float32)
+    ck = tmp_path / "clip-small-det.npz"
+    np.savez(ck, w_img=w_img, w_txt=w_txt)
+    try:
+        digest = embed.register_checkpoint(spark, "clip-small-det", str(ck))
+        assert len(digest) == 64
+        # a wrong published digest is rejected before distribution
+        with _pytest.raises(ValueError, match="sha256"):
+            embed.register_checkpoint(spark, "clip-small-det", str(ck), sha256="0" * 64)
+        imgs = generate_images(spark, 12, n_entities=2)
+        feats = extract_image_features(imgs, "clip-small-det")
+        row = feats.filter(F.col("error").isNull()).first()
+        emb = np.array(row["embedding"], np.float32)
+        expected = 1.0 / np.sqrt(spec.dim)
+        assert np.allclose(emb, expected, atol=1e-5), "checkpoint weights not used"
+    finally:
+        embed._CHECKPOINTS.pop("clip-small-det", None)
+        embed._CACHE.clear()
+
+
+def test_real_jpeg_decode_prefers_pil():
+    """Real-JPEG payloads decode via PIL wherever it exists (the preferred
+    production codec, codec.py:146-155); skipped — not silently absent — in
+    containers without PIL."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from video_features_spark.functions.codec import decode_image, psnr
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 255, size=(40, 56, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+    out = decode_image(buf.getvalue(), "jpeg")
+    assert out.shape == arr.shape and out.dtype == np.uint8
+    assert psnr(arr, out) > 25.0

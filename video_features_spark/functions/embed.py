@@ -57,27 +57,94 @@ MODEL_REGISTRY: dict[str, ModelSpec] = {
 }
 
 # per-executor-process model cache — the Spark analog of the reference's
-# load-once-per-process model singleton (extract_clip.py:43-69)
-_CACHE: dict[str, tuple[ModelSpec, np.ndarray, np.ndarray]] = {}
+# load-once-per-process model singleton (extract_clip.py:43-69); keyed by
+# (name, checkpoint) so re-registering a checkpoint invalidates cleanly
+_CACHE: dict[tuple, tuple[ModelSpec, np.ndarray, np.ndarray]] = {}
+
+# driver-side registry: model name → (SparkFiles name, sha256). Executors do
+# NOT see this dict — operators capture the tuple in their UDF closure at
+# plan-build time (see features.extract_image_features) and python workers
+# resolve the file via SparkFiles.get locally.
+_CHECKPOINTS: dict[str, tuple[str, str]] = {}
+
+
+def register_checkpoint(spark, model_name: str, path: str, sha256: str | None = None) -> str:
+    """Distribute a real weight checkpoint (.npz with ``w_img``/``w_txt``) to
+    every executor via ``SparkContext.addFile`` and pin its SHA256 — the same
+    download-integrity contract the reference enforces
+    (``/root/reference/models/clip/clip_src/clip.py:45-74``). Returns the
+    digest. Pass ``sha256`` to verify against a published digest; omitted, the
+    local file's digest becomes the pin (trust-on-first-register)."""
+    import hashlib
+    import os
+
+    if model_name not in MODEL_REGISTRY:
+        raise KeyError(f"unknown model {model_name!r}; registry: {sorted(MODEL_REGISTRY)}")
+    with open(path, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    if sha256 is not None and digest != sha256:
+        raise ValueError(f"checkpoint {path}: sha256 {digest} != expected {sha256}")
+    spark.sparkContext.addFile(path)
+    _CHECKPOINTS[model_name] = (os.path.basename(path), digest)
+    for k in [k for k in _CACHE if k[0] == model_name]:
+        _CACHE.pop(k)
+    return digest
+
+
+def checkpoint_for(model_name: str) -> tuple[str, str] | None:
+    """The (SparkFiles name, sha256) pin an operator should bake into its UDF
+    closure — or None for the seeded deterministic weights."""
+    return _CHECKPOINTS.get(model_name)
+
+
+def _load_checkpoint(spec: ModelSpec, filename: str, sha256: str) -> tuple[np.ndarray, np.ndarray]:
+    import hashlib
+
+    from pyspark import SparkFiles
+
+    path = SparkFiles.get(filename)
+    with open(path, "rb") as f:
+        data = f.read()
+    digest = hashlib.sha256(data).hexdigest()
+    if digest != sha256:
+        raise ValueError(f"checkpoint {filename}: sha256 {digest} != pinned {sha256}")
+    npz = np.load(path)
+    w_img = npz["w_img"].astype(np.float32)
+    w_txt = npz["w_txt"].astype(np.float32)
+    if w_img.shape != (spec.dim, _FEAT_IN) or w_txt.shape != (spec.dim, 512):
+        raise ValueError(
+            f"checkpoint {filename}: shapes {w_img.shape}/{w_txt.shape} don't match "
+            f"spec ({spec.dim}, {_FEAT_IN})/({spec.dim}, 512)"
+        )
+    return w_img, w_txt
 
 
 def _load_weights(spec: ModelSpec) -> tuple[np.ndarray, np.ndarray]:
-    """Seeded deterministic weights. Real deployment: replace with a torch
-    checkpoint fetched via SparkFiles/broadcast (reference SHA256-verifies its
-    downloads, clip_src/clip.py:45-74)."""
+    """Seeded deterministic weights — the no-checkpoint default (torch/timm
+    absent in this container; ``register_checkpoint`` is the real-weights
+    path and uses the same loader seam)."""
     rng = np.random.default_rng(spec.seed)
     w_img = rng.standard_normal((spec.dim, _FEAT_IN)).astype(np.float32) / np.sqrt(_FEAT_IN)
     w_txt = rng.standard_normal((spec.dim, 512)).astype(np.float32) / np.sqrt(512)
     return w_img, w_txt
 
 
-def get_model(name: str) -> tuple[ModelSpec, np.ndarray, np.ndarray]:
-    if name not in _CACHE:
+def get_model(
+    name: str, checkpoint: tuple[str, str] | None = None
+) -> tuple[ModelSpec, np.ndarray, np.ndarray]:
+    """Resolve a model by name. ``checkpoint`` (from ``checkpoint_for``) makes
+    an executor load the distributed, SHA256-verified weights; without it the
+    driver-side registry is consulted (covers driver-local use), then the
+    seeded deterministic weights."""
+    ck = checkpoint or _CHECKPOINTS.get(name)
+    key = (name, ck)
+    if key not in _CACHE:
         if name not in MODEL_REGISTRY:
             raise KeyError(f"unknown model {name!r}; registry: {sorted(MODEL_REGISTRY)}")
         spec = MODEL_REGISTRY[name]
-        _CACHE[name] = (spec, *_load_weights(spec))
-    return _CACHE[name]
+        weights = _load_checkpoint(spec, *ck) if ck else _load_weights(spec)
+        _CACHE[key] = (spec, *weights)
+    return _CACHE[key]
 
 
 def _pool(batch: np.ndarray) -> np.ndarray:
@@ -92,7 +159,9 @@ def _pool(batch: np.ndarray) -> np.ndarray:
     return out.reshape(b, -1)
 
 
-def embed_pixels(batch: np.ndarray, model_name: str) -> np.ndarray:
+def embed_pixels(
+    batch: np.ndarray, model_name: str, checkpoint: tuple[str, str] | None = None
+) -> np.ndarray:
     """B×S×S×3 preprocessed float32 → B×D L2-normalized float32 embeddings.
 
     The projection runs through the fixed-tile matmul (preprocess._tiled_matmul)
@@ -100,14 +169,16 @@ def embed_pixels(batch: np.ndarray, model_name: str) -> np.ndarray:
     its Arrow batch — BLAS kernel choice varies with the m dimension otherwise."""
     from .preprocess import _tiled_matmul
 
-    spec, w_img, _ = get_model(model_name)
+    spec, w_img, _ = get_model(model_name, checkpoint)
     feats = _pool(batch.astype(np.float32))
     emb = np.tanh(_tiled_matmul(np.ascontiguousarray(feats), w_img.T))
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
     return (emb / np.maximum(norms, 1e-12)).astype(np.float32)
 
 
-def preprocess_and_embed(images: list[np.ndarray], model_name: str) -> np.ndarray:
+def preprocess_and_embed(
+    images: list[np.ndarray], model_name: str, checkpoint: tuple[str, str] | None = None
+) -> np.ndarray:
     """Decode-side entry: raw uint8 H×W×3 images (mixed sizes) → embeddings.
     Images are grouped by (H, W) so the CLIP preprocess chain runs as batched
     GEMMs per size group (sizes repeat heavily in real corpora); results are
@@ -115,7 +186,7 @@ def preprocess_and_embed(images: list[np.ndarray], model_name: str) -> np.ndarra
     independent, so output order/partitioning never affects values."""
     from .preprocess import clip_preprocess_batch
 
-    spec, _, _ = get_model(model_name)
+    spec, _, _ = get_model(model_name, checkpoint)
     s = spec.input_size
     out = np.empty((len(images), s, s, 3), np.float32)
     groups: dict[tuple[int, int], list[int]] = {}
@@ -124,7 +195,7 @@ def preprocess_and_embed(images: list[np.ndarray], model_name: str) -> np.ndarra
     for idxs in groups.values():
         batch = np.stack([images[i] for i in idxs])
         out[idxs] = clip_preprocess_batch(batch, s)
-    return embed_pixels(out, model_name)
+    return embed_pixels(out, model_name, checkpoint)
 
 
 # ---------------------------------------------------------------------------
@@ -150,10 +221,12 @@ def _hash_token(tok: str) -> int:
     return zlib.crc32(tok.encode("utf-8")) % 512
 
 
-def embed_captions(texts: list[str | None], model_name: str) -> np.ndarray:
+def embed_captions(
+    texts: list[str | None], model_name: str, checkpoint: tuple[str, str] | None = None
+) -> np.ndarray:
     """Hashed unigram+bigram bag → seeded projection → L2 norm. Nulls → zero
     vector (backfill upstream is the supported repair path)."""
-    _, _, w_txt = get_model(model_name)
+    _, _, w_txt = get_model(model_name, checkpoint)
     dim = w_txt.shape[0]
     out = np.zeros((len(texts), dim), np.float32)
     for i, t in enumerate(texts):

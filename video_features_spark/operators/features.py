@@ -29,7 +29,13 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, FloatType, IntegerType
 
 from ..functions.codec import decode_image, psnr
-from ..functions.embed import embed_captions, get_model, preprocess_and_embed, token_count
+from ..functions.embed import (
+    checkpoint_for,
+    embed_captions,
+    get_model,
+    preprocess_and_embed,
+    token_count,
+)
 
 
 def extract_image_features(
@@ -47,6 +53,9 @@ def extract_image_features(
     meant for audit runs, not the hot path.
     """
     get_model(model_name)  # fail fast on the driver for unknown names
+    # captured at plan-build time: python workers don't share driver module
+    # state, so the (SparkFiles name, sha256) pin rides the UDF closure
+    ckpt = checkpoint_for(model_name)
     id_cols = list(id_cols)
     cols = id_cols + [bytes_col, fmt_col]
     schema_id = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in id_cols)
@@ -73,7 +82,7 @@ def extract_image_features(
             ok_idx = [i for i in range(n) if images[i] is not None]
             emb_col: list[list[float] | None] = [None] * n
             if ok_idx:
-                embs = preprocess_and_embed([images[i] for i in ok_idx], model_name)
+                embs = preprocess_and_embed([images[i] for i in ok_idx], model_name, ckpt)
                 for j, i in enumerate(ok_idx):
                     emb_col[i] = embs[j].tolist()
             out = b[id_cols].copy()
@@ -93,10 +102,11 @@ def embed_caption_column(
     """Caption → L2-normalized embedding (CLIP text-tower analog,
     clip_src/model.py:343-356), as a scalar Arrow-batched pandas UDF."""
     get_model(model_name)
+    ckpt = checkpoint_for(model_name)
 
     @F.pandas_udf(ArrayType(FloatType()))
     def _embed(texts: pd.Series) -> pd.Series:
-        embs = embed_captions(texts.tolist(), model_name)
+        embs = embed_captions(texts.tolist(), model_name, ckpt)
         return pd.Series([e.tolist() for e in embs])
 
     return df.withColumn(out_col, _embed(F.col(caption_col)))
