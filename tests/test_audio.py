@@ -1,0 +1,172 @@
+"""Audio family gates (S5/S6/P17/A6): WAV codec roundtrip, mono mixdown, mel
+physics (sine → right band), framing formulas, end-to-end Spark extraction
+with quarantine and cross-partitioning determinism, fp16 and augmentation."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from video_features_spark.functions.wav import (
+    NUM_MEL_BANDS,
+    decode_wav,
+    encode_wav,
+    frame_signal,
+    hz_to_mel,
+    log_mel_spectrogram,
+    logmel_examples,
+    mel_filterbank,
+    mono_mixdown,
+)
+from video_features_spark.operators.audio import extract_audio_features
+from video_features_spark.sources.datagen import generate_audio
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    rng = np.random.default_rng(1)
+    mono = rng.integers(-30000, 30000, 5000, dtype=np.int16)
+    x, sr = decode_wav(encode_wav(mono, 16000))
+    assert sr == 16000 and x.shape == (5000, 1) and (x[:, 0] == mono).all()
+    stereo = rng.integers(-30000, 30000, (3000, 2), dtype=np.int16)
+    y, _ = decode_wav(encode_wav(stereo, 8000))
+    assert y.shape == (3000, 2) and (y == stereo).all()
+
+
+def test_wav_decode_walks_extra_chunks():
+    """Files from other encoders carry LIST/fact chunks before data."""
+    import struct
+
+    mono = np.arange(100, dtype=np.int16)
+    raw = encode_wav(mono, 16000)
+    fmt = raw[12:36]  # fmt chunk
+    data = raw[36:]
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = raw[:12] + fmt + extra + data
+    x, sr = decode_wav(patched)
+    assert (x[:, 0] == mono).all() and sr == 16000
+
+
+def test_wav_rejects_non_riff_and_non_pcm16():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"\x00" * 64)
+
+
+def test_mono_mixdown_is_channel_mean():
+    x = np.array([[32767, -32767], [100, 300]], dtype=np.int16)
+    m = mono_mixdown(x)
+    assert m.dtype == np.float32
+    assert abs(m[0]) < 1e-4 and abs(m[1] - 200 / 32768.0) < 1e-6
+
+
+def test_frame_signal_count_formula():
+    x = np.zeros(16000, np.float32)
+    f = frame_signal(x, 400, 160)
+    assert f.shape == (1 + (16000 - 400) // 160, 400)
+    assert frame_signal(np.zeros(399, np.float32), 400, 160).shape[0] == 0
+
+
+def test_sine_lands_in_expected_mel_band():
+    """1 kHz tone → energy peak in the mel band whose center is nearest
+    1 kHz (the A6 mel-matmul physics check)."""
+    sr = 16000
+    t = np.arange(sr, dtype=np.float64) / sr
+    x = (0.5 * np.sin(2 * np.pi * 1000.0 * t)).astype(np.float32)
+    mel = log_mel_spectrogram(x, sr)
+    peak_band = int(np.bincount(mel.argmax(axis=1)).argmax())
+    edges = np.linspace(hz_to_mel(125.0), hz_to_mel(7500.0), NUM_MEL_BANDS + 2)
+    expected = int(np.argmin(np.abs(edges[1:-1] - hz_to_mel(1000.0))))
+    assert abs(peak_band - expected) <= 1
+
+
+def test_logmel_examples_framing():
+    sr = 16000
+    x = np.zeros(2 * sr, np.float32)  # 2 s → 197 frames → 2 examples
+    ex = logmel_examples(x, sr)
+    n_frames = 1 + (2 * sr - 400) // 160
+    assert ex.shape == (n_frames // 96, 96, NUM_MEL_BANDS)
+
+
+def test_mel_filterbank_shape_and_coverage():
+    bank = mel_filterbank()
+    assert bank.shape == (257, NUM_MEL_BANDS)
+    assert (bank >= 0).all() and (bank.sum(axis=0) > 0).all()
+
+
+def test_extract_audio_features_end_to_end(spark):
+    clips = generate_audio(spark, 30, n_entities=5).cache()
+    feats = extract_audio_features(clips).cache()
+    ok = feats.filter(F.col("error").isNull())
+    # exact example count per clip, computable from n_samples without decoding
+    expected = clips.select(
+        "clip_id",
+        F.floor((F.lit(1) + F.floor((F.col("n_samples") - 400) / 160)) / 96).alias("n_exp"),
+    )
+    got = ok.groupBy("clip_id").agg(F.count(F.lit(1)).alias("n_got"))
+    mism = got.join(expected, "clip_id").filter(F.col("n_got") != F.col("n_exp"))
+    assert mism.count() == 0, mism.collect()
+    # embeddings are unit-norm 128-d
+    norm = F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)
+    assert ok.filter(F.abs(norm - 1.0) > 1e-4).count() == 0
+    assert ok.filter(F.size("embedding") != 128).count() == 0
+    # stereo clips decode through the mixdown (some exist by construction)
+    assert clips.filter("n_channels = 2").count() > 0
+
+
+def test_audio_determinism_across_partitionings(spark):
+    clips = generate_audio(spark, 20, n_entities=4)
+    a = extract_audio_features(clips.repartition(1))
+    b = extract_audio_features(clips.repartition(8))
+    pa = {(r["clip_id"], r["example_idx"]): r["embedding"] for r in a.collect()}
+    pb = {(r["clip_id"], r["example_idx"]): r["embedding"] for r in b.collect()}
+    assert pa == pb
+
+
+def test_audio_too_short_clip_quarantined(spark):
+    tiny = encode_wav(np.zeros(1000, np.int16), 16000)
+    df = spark.createDataFrame(
+        [("c0", "e0", bytearray(tiny))], "clip_id string, entity_id string, audio binary"
+    )
+    out = extract_audio_features(df, id_cols=("clip_id", "entity_id")).collect()
+    assert len(out) == 1 and out[0]["error"] == "too_short"
+    assert out[0]["embedding"] is None
+    bad = spark.createDataFrame(
+        [("c1", "e0", bytearray(b"not a wav at all, definitely"))],
+        "clip_id string, entity_id string, audio binary",
+    )
+    outb = extract_audio_features(bad, id_cols=("clip_id", "entity_id")).collect()
+    assert len(outb) == 1 and "ValueError" in outb[0]["error"]
+
+
+def test_fp16_precision_close_but_quantized(spark):
+    from video_features_spark.operators.features import extract_image_features
+    from video_features_spark.sources.datagen import generate_images
+
+    imgs = generate_images(spark, 10, n_entities=2).cache()
+    f32 = {r["image_id"]: np.array(r["embedding"], np.float32)
+           for r in extract_image_features(imgs).collect()}
+    f16 = {r["image_id"]: np.array(r["embedding"], np.float32)
+           for r in extract_image_features(imgs, precision="fp16").collect()}
+    diffs = [float(np.abs(f32[k] - f16[k]).max()) for k in f32]
+    assert max(diffs) > 0  # the cast genuinely quantizes
+    assert all(np.allclose(f32[k], f16[k], atol=5e-2) for k in f32)
+    # deterministic: same fp16 run twice is bit-identical
+    f16b = {r["image_id"]: np.array(r["embedding"], np.float32)
+            for r in extract_image_features(imgs.repartition(5), precision="fp16").collect()}
+    assert all((f16[k] == f16b[k]).all() for k in f16)
+
+
+def test_augmentation_deterministic_and_diverse(spark):
+    from video_features_spark.operators.features import extract_image_features
+    from video_features_spark.sources.datagen import generate_images
+
+    imgs = generate_images(spark, 20, n_entities=2).cache()
+    clean = {r["image_id"]: np.array(r["embedding"], np.float32)
+             for r in extract_image_features(imgs).collect()}
+    aug = {r["image_id"]: np.array(r["embedding"], np.float32)
+           for r in extract_image_features(imgs, augment_seed=11).collect()}
+    aug2 = {r["image_id"]: np.array(r["embedding"], np.float32)
+            for r in extract_image_features(imgs.repartition(7), augment_seed=11).collect()}
+    # bit-identical across partitionings at the same seed (resume contract)
+    assert all((aug[k] == aug2[k]).all() for k in aug)
+    # and genuinely different from the clean pipeline for most rows
+    changed = sum(not np.allclose(clean[k], aug[k], atol=1e-6) for k in clean)
+    assert changed >= len(clean) // 2

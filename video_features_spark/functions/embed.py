@@ -130,20 +130,31 @@ def _load_weights(spec: ModelSpec) -> tuple[np.ndarray, np.ndarray]:
 
 
 def get_model(
-    name: str, checkpoint: tuple[str, str] | None = None
+    name: str,
+    checkpoint: tuple[str, str] | None = None,
+    precision: str = "fp32",
 ) -> tuple[ModelSpec, np.ndarray, np.ndarray]:
     """Resolve a model by name. ``checkpoint`` (from ``checkpoint_for``) makes
     an executor load the distributed, SHA256-verified weights; without it the
     driver-side registry is consulted (covers driver-local use), then the
-    seeded deterministic weights."""
+    seeded deterministic weights. ``precision="fp16"`` quantizes the weights
+    through float16 (the reference's convert_weights cast,
+    clip_src/model.py:371-392) — compute stays float32, so the cast is a
+    deterministic weight quantization, halving checkpoint memory per executor
+    at the documented small accuracy cost."""
+    if precision not in ("fp32", "fp16"):
+        raise ValueError(f"precision must be fp32|fp16, got {precision!r}")
     ck = checkpoint or _CHECKPOINTS.get(name)
-    key = (name, ck)
+    key = (name, ck, precision)
     if key not in _CACHE:
         if name not in MODEL_REGISTRY:
             raise KeyError(f"unknown model {name!r}; registry: {sorted(MODEL_REGISTRY)}")
         spec = MODEL_REGISTRY[name]
-        weights = _load_checkpoint(spec, *ck) if ck else _load_weights(spec)
-        _CACHE[key] = (spec, *weights)
+        w_img, w_txt = _load_checkpoint(spec, *ck) if ck else _load_weights(spec)
+        if precision == "fp16":
+            w_img = w_img.astype(np.float16).astype(np.float32)
+            w_txt = w_txt.astype(np.float16).astype(np.float32)
+        _CACHE[key] = (spec, w_img, w_txt)
     return _CACHE[key]
 
 
@@ -160,7 +171,10 @@ def _pool(batch: np.ndarray) -> np.ndarray:
 
 
 def embed_pixels(
-    batch: np.ndarray, model_name: str, checkpoint: tuple[str, str] | None = None
+    batch: np.ndarray,
+    model_name: str,
+    checkpoint: tuple[str, str] | None = None,
+    precision: str = "fp32",
 ) -> np.ndarray:
     """B×S×S×3 preprocessed float32 → B×D L2-normalized float32 embeddings.
 
@@ -169,7 +183,7 @@ def embed_pixels(
     its Arrow batch — BLAS kernel choice varies with the m dimension otherwise."""
     from .preprocess import _tiled_matmul
 
-    spec, w_img, _ = get_model(model_name, checkpoint)
+    spec, w_img, _ = get_model(model_name, checkpoint, precision)
     feats = _pool(batch.astype(np.float32))
     emb = np.tanh(_tiled_matmul(np.ascontiguousarray(feats), w_img.T))
     norms = np.linalg.norm(emb, axis=1, keepdims=True)
@@ -177,7 +191,10 @@ def embed_pixels(
 
 
 def preprocess_and_embed(
-    images: list[np.ndarray], model_name: str, checkpoint: tuple[str, str] | None = None
+    images: list[np.ndarray],
+    model_name: str,
+    checkpoint: tuple[str, str] | None = None,
+    precision: str = "fp32",
 ) -> np.ndarray:
     """Decode-side entry: raw uint8 H×W×3 images (mixed sizes) → embeddings.
     Images are grouped by (H, W) so the CLIP preprocess chain runs as batched
@@ -195,7 +212,7 @@ def preprocess_and_embed(
     for idxs in groups.values():
         batch = np.stack([images[i] for i in idxs])
         out[idxs] = clip_preprocess_batch(batch, s)
-    return embed_pixels(out, model_name, checkpoint)
+    return embed_pixels(out, model_name, checkpoint, precision)
 
 
 # ---------------------------------------------------------------------------

@@ -194,3 +194,18 @@ def clip_preprocess(arr: np.ndarray, size: int = 224) -> np.ndarray:
     a = center_crop(a, size)
     a = a / np.float32(255.0)
     return normalize(a).astype(np.float32)
+
+
+def augment_deterministic(img: "np.ndarray", key: int) -> "np.ndarray":
+    """P12 re-expressed reproducibly: horizontal flip + brightness jitter whose
+    randomness is a pure function of ``key`` (e.g. crc32 of the row id). The
+    reference's torchvision RandomHorizontalFlip/jitter is nondeterministic
+    across runs — useless in a resumable pipeline where a retried partition
+    must reproduce its rows bit-exactly; keying the draw by row identity keeps
+    augmentation diversity AND the checkpoint/resume contract."""
+    rng = np.random.default_rng(key & 0x7FFFFFFFFFFFFFFF)
+    out = img
+    if rng.random() < 0.5:
+        out = out[:, ::-1]
+    scale = np.float32(1.0 + rng.uniform(-0.1, 0.1))
+    return np.clip(out.astype(np.float32) * scale, 0, 255).astype(np.uint8)

@@ -45,14 +45,20 @@ def extract_image_features(
     bytes_col: str = "bytes",
     fmt_col: str = "fmt",
     check_psnr: bool = False,
+    precision: str = "fp32",
+    augment_seed: int | None = None,
 ) -> DataFrame:
     """(id cols, bytes, fmt) → (id cols, embedding array<float>, error string).
 
     ``check_psnr=True`` additionally re-encodes losslessly and verifies the
     decode invariant (PSNR ≥ 40 dB for lossy payloads — input_hint contract);
-    meant for audit runs, not the hot path.
+    meant for audit runs, not the hot path. ``precision="fp16"`` runs with
+    float16-quantized weights (P20). ``augment_seed`` enables seeded
+    deterministic augmentation (P12): each row's flip/jitter is a pure
+    function of (augment_seed, first id column), so retries/resumes are
+    bit-identical.
     """
-    get_model(model_name)  # fail fast on the driver for unknown names
+    get_model(model_name, precision=precision)  # fail fast on the driver
     # captured at plan-build time: python workers don't share driver module
     # state, so the (SparkFiles name, sha256) pin rides the UDF closure
     ckpt = checkpoint_for(model_name)
@@ -76,13 +82,21 @@ def extract_image_features(
                         rt = decode_qjpg(encode_qjpg(img))
                         if psnr(img, rt) < 40.0:
                             raise ValueError("PSNR < 40dB on lossy roundtrip")
+                    if augment_seed is not None:
+                        from ..functions.preprocess import augment_deterministic
+                        import zlib
+
+                        key = zlib.crc32(str(b[id_cols[0]].iloc[i]).encode()) ^ augment_seed
+                        img = augment_deterministic(img, key)
                     images[i] = img
                 except Exception as e:  # noqa: BLE001 - quarantine, don't die
                     errors[i] = f"{type(e).__name__}: {e}"
             ok_idx = [i for i in range(n) if images[i] is not None]
             emb_col: list[list[float] | None] = [None] * n
             if ok_idx:
-                embs = preprocess_and_embed([images[i] for i in ok_idx], model_name, ckpt)
+                embs = preprocess_and_embed(
+                    [images[i] for i in ok_idx], model_name, ckpt, precision
+                )
                 for j, i in enumerate(ok_idx):
                     emb_col[i] = embs[j].tolist()
             out = b[id_cols].copy()

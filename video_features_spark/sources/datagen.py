@@ -156,3 +156,58 @@ def generate_labels(
     return spark.range(n_rows, numPartitions=partitions or spark.sparkContext.defaultParallelism).mapInPandas(
         gen, schema=LABELS_SCHEMA
     )
+
+
+AUDIO_SCHEMA = (
+    "clip_id string, entity_id string, ts timestamp, audio binary, "
+    "sr int, n_channels int, n_samples int"
+)
+
+
+def generate_audio(
+    spark: SparkSession,
+    n_rows: int,
+    n_entities: int | None = None,
+    seed: int = SEED,
+    sample_rate: int = 16000,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic WAV-clip table for the audio family (S5/S6): 1–3 s PCM16
+    clips (seeded sum-of-sines + noise), ~30% stereo to exercise the mono
+    mixdown. Same pure-function-of-(seed, row_id) contract as the image
+    generator; ``n_samples`` rides along so invariants can compute the exact
+    expected log-mel example count without decoding."""
+    from ..functions.wav import encode_wav
+
+    n_entities = n_entities or max(n_rows // 20, 1)
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def _clip(rid: int) -> tuple:
+        rng = np.random.default_rng((seed << 36) ^ (rid + 13))
+        entity = rid % n_entities
+        seq = rid // n_entities
+        ts = _EPOCH + pd.Timedelta(seconds=seq * 600 + int(rng.integers(0, 300)))
+        n = int(rng.integers(sample_rate, 3 * sample_rate))
+        t = np.arange(n, dtype=np.float64) / sample_rate
+        wave = np.zeros(n)
+        for _ in range(int(rng.integers(2, 4))):
+            f = float(rng.uniform(100, 4000))
+            wave += rng.uniform(0.1, 0.4) * np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28))
+        wave += rng.normal(0, 0.01, n)
+        pcm = np.clip(wave * 12000, -32768, 32767).astype(np.int16)
+        ch = 2 if rng.random() < 0.3 else 1
+        if ch == 2:
+            pcm = np.stack([pcm, np.clip(pcm * 0.8, -32768, 32767).astype(np.int16)], axis=1)
+        return (
+            f"clip{rid:08d}", f"e{entity:05d}", ts,
+            bytearray(encode_wav(pcm, sample_rate)), sample_rate, ch, n,
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                [_clip(int(rid)) for rid in b["id"]],
+                columns=["clip_id", "entity_id", "ts", "audio", "sr", "n_channels", "n_samples"],
+            )
+
+    return spark.range(n_rows, numPartitions=partitions).mapInPandas(gen, schema=AUDIO_SCHEMA)
