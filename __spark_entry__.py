@@ -3,9 +3,14 @@
 ``entry(spark)`` runs the flagship point-in-time image-feature pipeline on
 sf0.001-scale synthetic data. ``queries()`` exposes every implemented operator
 from SURVEY.md §2 over the driver's parquet tables; ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for each SQL-expressible one (image-pipeline and
-LSH-bucketing queries are rows-only by design — they exercise pandas-UDF
-operators with no SQL equivalent; their correctness gates live in tests/).
+DuckDB-equivalent SQL for each SQL-expressible one — including the full
+MinHash→LSH→verify chain, SimHash, hyperplane-LSH ANN and blocked near-dup
+(their oracles are GENERATED from the same hash constants / plane literals the
+Spark operators bake into their plans, so the two can never drift). The
+remaining rows-only queries (image/audio pipelines over in-Spark-generated
+media, IVF whose centroids are fitted at run time) each enforce in-query
+invariants with exact expected counts and bounds, and carry pytest gates in
+tests/.
 """
 
 from __future__ import annotations
@@ -364,12 +369,21 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components (iterative min-label
-    propagation with per-round lineage truncation) over the exact-Jaccard
-    pairs; the smallest id of each component is the survivor."""
+    propagation with per-round lineage truncation) over the LSH-verified
+    near-dup pairs — the production composition (MinHash→LSH→verify→CC).
+    Feeding CC from full-corpus exact Jaccard would run the O(Σ freq²)
+    shingle self-join LSH exists to avoid (1.5e9 intermediate rows at sf0.1
+    on this stop-shingle-heavy corpus); the exact path remains available as
+    the oracle twin (`ngram_jaccard`). The smallest id of each component is
+    the survivor."""
     from video_features_spark.operators.dedup import dedup_groups
 
-    pairs = jaccard_pairs(
-        _read(spark, sf_dir, "documents"), "doc_id", "text", n=_SHINGLE_N, threshold=0.5
+    # 64 hashes / 16 bands = 4 rows per band: r=4 keeps low-jaccard pairs out
+    # of the candidate set (this corpus has millions of moderate-similarity
+    # pairs) while 16 bands lift recall at j=0.5 to ~0.65 and j>=0.7 to ~0.99
+    pairs = minhash_dedup(
+        _read(spark, sf_dir, "documents"), "doc_id", "text",
+        n_hashes=64, bands=16, shingle_n=_SHINGLE_N, threshold=0.5,
     )
     return dedup_groups(pairs).select("id", "component", "is_kept")
 
@@ -462,22 +476,25 @@ _JACCARD_ORACLE = f"""
     WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5
 """
 
-# connected components over the (oracle-checkable) exact-Jaccard pairs:
-# transitive closure by recursive CTE, component = min reachable id
-_DEDUP_GROUPS_ORACLE = f"""
-    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION SELECT id_b, id_a FROM pairs),
-    reach AS (
-      SELECT src, dst FROM edges
-      UNION
-      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-    comp AS (
-      SELECT src AS id, least(src, min(dst)) AS component
-      FROM reach GROUP BY src)
-    SELECT id, component, id = component AS is_kept FROM comp
-"""
+# connected components over the LSH-verified pairs (same chain as the Spark
+# query): transitive closure by recursive CTE, component = min reachable id.
+# Defined as a function because the pairs CTE is generated from the MinHash
+# band construction.
+def _dedup_groups_oracle() -> str:
+    return f"""
+        WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ({_minhash_lsh_oracle(n_hashes=64, bands=16)}) lshp),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        comp AS (
+          SELECT src AS id, least(src, min(dst)) AS component
+          FROM reach GROUP BY src)
+        SELECT id, component, id = component AS is_kept FROM comp
+    """
 
 _EMB_NEAR_DUP_ORACLE = """
     WITH base AS (
@@ -832,15 +849,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _minhash_lsh_oracle(n_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+def _minhash_lsh_oracle(
+    n_hashes: int = 32, bands: int = 8, threshold: float = 0.5, source: str = "documents"
+) -> str:
     """DuckDB twin of operators.dedup.minhash_dedup, generated from the same
     hash params and band construction so the two can never drift: signatures →
-    md5-prefix band hashes → candidate self-join → exact Jaccard on candidates."""
+    md5-prefix band hashes → candidate self-join → exact Jaccard on candidates.
+    ``source`` is any relation with (doc_id, text) — a view or an outer CTE."""
     rpb = n_hashes // bands
     shingles = (
         "SELECT doc_id, unnest(list_distinct(list_transform("
         f"range(1, greatest(length(text)-{_SHINGLE_N}+1, 1)+1), "
-        f"i -> substr(text, i::INT, {_SHINGLE_N})))) AS s FROM documents"
+        f"i -> substr(text, i::INT, {_SHINGLE_N})))) AS s FROM {source}"
     )
     mins = ", ".join(
         f"min(({a}*h + {b}) % 4294967311) AS m{i}"
@@ -1022,19 +1042,9 @@ def _curate_oracle() -> str:
           FROM documents d
           JOIN quality q USING (doc_id) JOIN lang l USING (doc_id)
           WHERE q.quality >= 0.3 AND l.lang_pred = 'en'),
-        sh AS (
-          SELECT DISTINCT doc_id, ('0x'||substr(md5(s),1,8))::BIGINT AS h
-          FROM (SELECT doc_id, unnest(list_distinct(list_transform(
-                  range(1, greatest(length(text)-{_SHINGLE_N}+1, 1)+1),
-                  i -> substr(text, i::INT, {_SHINGLE_N})))) AS s FROM kept)),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         pairs AS (
           SELECT id_a, id_b
-          FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-                FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-                GROUP BY 1, 2) x
-          JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-          WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5),
+          FROM ({_minhash_lsh_oracle(n_hashes=64, bands=16, threshold=0.5, source="kept")}) mlp),
         edges AS (
           SELECT id_a AS src, id_b AS dst FROM pairs
           UNION SELECT id_b, id_a FROM pairs),
@@ -1209,7 +1219,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_sigs": _minhash_oracle(),
         "ngram_jaccard": _JACCARD_ORACLE,
-        "dedup_groups": _DEDUP_GROUPS_ORACLE,
+        "dedup_groups": _dedup_groups_oracle(),
         "embedding_near_dup": _EMB_NEAR_DUP_ORACLE,
         "embedding_near_dup_blocked": _near_dup_blocked_oracle(),
         "minhash_lsh_dedup": _minhash_lsh_oracle(),

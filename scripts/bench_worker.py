@@ -144,6 +144,13 @@ def timed_run(args) -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    if args.queries_only:
+        out = {"cores": args.cores}
+        _run_queries(spark, args, out)
+        spark.stop()
+        print("BENCH_JSON:" + json.dumps(out))
+        return
+
     n = args.images
 
     def pipeline(imgs, labels):
@@ -187,28 +194,32 @@ def timed_run(args) -> None:
     }
 
     if args.queries:
-        import __spark_entry__ as entrymod
-
-        qtimes = {}
-        qs = entrymod.queries()
-        headline = [
-            "asof_window", "asof_merge", "asof_salted", "lag_lead", "backfill",
-            "sessionize", "resample", "topk_per_group", "sliding_stacks",
-            "tumbling_daily", "tpch_q1", "tpch_q3", "dedup_exact", "cosine_topk",
-            "token_count", "embedding_quantize",
-            # dedup/text suite (the scale-path operators need timings too)
-            "curate_corpus", "dedup_groups", "minhash_lsh_dedup",
-            "embedding_near_dup_blocked", "ann_lsh_topk", "simhash_sigs",
-            "langid_ngram", "text_quality",
-        ]
-        for name in headline:
-            t0 = time.time()
-            materialize(qs[name](spark, args.sf_dir))
-            qtimes[name] = round(time.time() - t0, 3)
-        out["queries"] = qtimes
+        _run_queries(spark, args, out)
 
     spark.stop()
     print("BENCH_JSON:" + json.dumps(out))
+
+
+def _run_queries(spark, args, out: dict) -> None:
+    import __spark_entry__ as entrymod
+
+    qtimes = {}
+    qs = entrymod.queries()
+    headline = [
+        "asof_window", "asof_merge", "asof_salted", "lag_lead", "backfill",
+        "sessionize", "resample", "topk_per_group", "sliding_stacks",
+        "tumbling_daily", "tpch_q1", "tpch_q3", "dedup_exact", "cosine_topk",
+        "token_count", "embedding_quantize",
+        # dedup/text suite (the scale-path operators need timings too)
+        "curate_corpus", "dedup_groups", "minhash_lsh_dedup",
+        "embedding_near_dup_blocked", "ann_lsh_topk", "simhash_sigs",
+        "langid_ngram", "text_quality",
+    ]
+    for name in headline:
+        t0 = time.time()
+        materialize(qs[name](spark, args.sf_dir))
+        qtimes[name] = round(time.time() - t0, 3)
+    out["queries"] = qtimes
 
 
 def main() -> None:
@@ -218,11 +229,14 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--model", default="clip-small-det")
     ap.add_argument("--queries", action="store_true")
+    ap.add_argument("--queries-only", action="store_true")
     ap.add_argument("--prepare", action="store_true")
     ap.add_argument("--hw", action="store_true")
     args = ap.parse_args()
     if args.prepare:
         prepare(args.images)
+    elif args.queries_only:
+        timed_run(args)
     elif args.hw:
         hw_ceiling_run(args)
     else:

@@ -96,3 +96,25 @@ def test_zero_shot_classify(spark, images):
     assert j.count() == res.count()
     assert j.filter(F.abs(F.col("prob") - F.col("prob_full")) > 1e-9).count() == 0
     assert res.filter((F.col("rank") == 1) & (F.col("prob") <= 0)).count() == 0
+
+
+def test_pair_features_partition_strategy_matches_window(spark, images):
+    """The bytes-shuffle-once strategy must produce the identical pair set
+    and values as the window (lead) strategy, across partitionings."""
+    from video_features_spark.operators.temporal_features import consecutive_pair_features
+
+    def key(rows):
+        return sorted(
+            (r["entity_id"], r["ts"], r["next_ts"],
+             None if r["mean_abs_motion"] is None else round(r["mean_abs_motion"], 9),
+             None if r["changed_frac"] is None else round(r["changed_frac"], 9))
+            for r in rows
+        )
+
+    win = key(consecutive_pair_features(images).collect())
+    part = key(consecutive_pair_features(images, strategy="partition").collect())
+    assert win == part
+    part3 = key(
+        consecutive_pair_features(images.repartition(3), strategy="partition", partitions=5).collect()
+    )
+    assert win == part3

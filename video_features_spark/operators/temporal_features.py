@@ -22,24 +22,49 @@ from ..functions.codec import decode_image
 from ..functions.embed import get_model
 
 
+def _pair_metrics(a: np.ndarray, nxt: np.ndarray) -> tuple[float, float]:
+    if a.shape != nxt.shape:
+        raise ValueError(f"shape mismatch {a.shape} vs {nxt.shape}")
+    diff = np.abs(a.astype(np.int16) - nxt.astype(np.int16))
+    return float(diff.mean()), float((diff.max(axis=2) > 8).mean())
+
+
 def consecutive_pair_features(
     df: DataFrame,
     entity_col: str = "entity_id",
     ts_col: str = "ts",
     bytes_col: str = "bytes",
     fmt_col: str = "fmt",
+    strategy: str = "window",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Pair every image with its entity's NEXT image and compute pair features
     (mean absolute pixel motion, changed-pixel fraction) — the relational form
     of the reference's flow extraction: ``model(batch[:-1], batch[1:])`` with
     an overlap=1 batch cache (``models/_base/base_flow_extractor.py:78-84``,
-    ``utils/io.py:120-126``). Here: ``F.lead`` over (entity ORDER BY ts) pairs
-    rows across any partitioning; one shuffle, then a single Arrow pass.
+    ``utils/io.py:120-126``).
+
+    Two strategies, identical output (equivalence-tested):
+
+    ``window``: ``F.lead`` over (entity ORDER BY ts) pairs rows across any
+    partitioning; one shuffle, then a single Arrow pass. Simple and correct —
+    but every image's BYTES travel twice through the window shuffle (once as
+    itself, once as its predecessor's lead), and decode runs twice per image.
+
+    ``partition`` (the 100 TB path): ``repartition(entity)`` +
+    ``sortWithinPartitions(entity, ts)`` + ``mapInPandas`` with a one-row
+    carry across Arrow batches (entity never straddles a partition, only
+    batches). Bytes shuffle ONCE and each image decodes ONCE per batch —
+    halves both network volume and decode CPU for ~25 KB payloads.
 
     Last frame of each entity has no successor → dropped (same as reference:
     T frames yield T-1 flow vectors). Pairs with mismatched shapes (the entity
     changed resolution mid-stream) yield null features + an ``error``.
     """
+    if strategy == "partition":
+        return _pair_features_partition(df, entity_col, ts_col, bytes_col, fmt_col, partitions)
+    if strategy != "window":
+        raise ValueError(f"strategy must be window|partition, got {strategy!r}")
     w = Window.partitionBy(entity_col).orderBy(ts_col)
     paired = (
         df.select(entity_col, ts_col, bytes_col, fmt_col)
@@ -63,11 +88,9 @@ def consecutive_pair_features(
                 try:
                     a = decode_image(bytes(b[bytes_col].iloc[i]), b[fmt_col].iloc[i])
                     nxt = decode_image(bytes(b["__nb"].iloc[i]), b["__nf"].iloc[i])
-                    if a.shape != nxt.shape:
-                        raise ValueError(f"shape mismatch {a.shape} vs {nxt.shape}")
-                    diff = np.abs(a.astype(np.int16) - nxt.astype(np.int16))
-                    motion.append(float(diff.mean()))
-                    changed.append(float((diff.max(axis=2) > 8).mean()))
+                    m, c = _pair_metrics(a, nxt)
+                    motion.append(m)
+                    changed.append(c)
                     err.append(None)
                 except Exception as e:  # noqa: BLE001 - quarantine
                     motion.append(None)
@@ -81,6 +104,61 @@ def consecutive_pair_features(
             yield out
 
     return paired.mapInPandas(run, schema=out_schema)
+
+
+def _pair_features_partition(df, entity_col, ts_col, bytes_col, fmt_col, partitions):
+    """See consecutive_pair_features(strategy='partition'). The carry row
+    bridges Arrow-batch boundaries INSIDE a partition — the Spark-shaped twin
+    of the reference's overlap=1 batch cache (utils/io.py:120-126), needed
+    here only because mapInPandas slices one partition into many batches."""
+    sel = df.select(entity_col, ts_col, bytes_col, fmt_col)
+    npart = partitions or df.sparkSession.sparkContext.defaultParallelism
+    arranged = sel.repartition(npart, entity_col).sortWithinPartitions(entity_col, ts_col)
+    id_schema = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in (entity_col, ts_col)
+    )
+    out_schema = (
+        f"{id_schema}, next_ts timestamp, mean_abs_motion double, "
+        f"changed_frac double, error string"
+    )
+    cols = [entity_col, ts_col, "next_ts", "mean_abs_motion", "changed_frac", "error"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for b in batches:
+            if carry is not None:
+                b = pd.concat([carry, b], ignore_index=True)
+            if len(b) < 2:
+                carry = b
+                continue
+            decoded: list = []
+            for i in range(len(b)):
+                try:
+                    decoded.append(decode_image(bytes(b[bytes_col].iloc[i]), b[fmt_col].iloc[i]))
+                except Exception as e:  # noqa: BLE001 - quarantine
+                    decoded.append(e)
+            rows = []
+            ents = b[entity_col].values
+            for i in range(len(b) - 1):
+                if ents[i] != ents[i + 1]:
+                    continue
+                try:
+                    a, nxt = decoded[i], decoded[i + 1]
+                    if isinstance(a, Exception):
+                        raise a
+                    if isinstance(nxt, Exception):
+                        raise nxt
+                    m, c = _pair_metrics(a, nxt)
+                    rows.append((ents[i], b[ts_col].iloc[i], b[ts_col].iloc[i + 1], m, c, None))
+                except Exception as e:  # noqa: BLE001
+                    rows.append(
+                        (ents[i], b[ts_col].iloc[i], b[ts_col].iloc[i + 1],
+                         None, None, f"{type(e).__name__}: {e}")
+                    )
+            carry = b.iloc[[-1]].reset_index(drop=True)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return arranged.mapInPandas(run, schema=out_schema)
 
 
 def stack_mean_pool(

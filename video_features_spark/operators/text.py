@@ -75,24 +75,43 @@ def curate_corpus(
     lang: str | None = "en",
     jaccard_threshold: float = 0.5,
     shingle_n: int = 5,
+    dedup_strategy: str = "lsh",
+    n_hashes: int = 64,
+    bands: int = 16,
 ) -> DataFrame:
     """End-to-end corpus curation — the composition a training-data pipeline
     actually runs: quality gate → language gate → near-dup cluster collapse
     (keep the smallest id of each connected component). Every stage is a
     DataFrame operator defined elsewhere in this package; the whole thing is
     one logical plan Catalyst optimizes jointly (the quality/lang filters
-    prune rows *before* the expensive shingle self-join).
+    prune rows *before* the near-dup stage).
+
+    ``dedup_strategy``: ``"lsh"`` (default, the 100 TB path — MinHash→LSH
+    banding→candidate-only verify; 64 hashes / 16 bands = 4 rows per band,
+    the r=4 selectivity that keeps moderate-similarity pairs out of the
+    candidate set with ~99% recall at jaccard ≥ 0.7) or ``"exact"``
+    (full-pair Jaccard — O(Σ freq²) shingle self-join, the
+    oracle-twin/small-corpus path).
 
     Emits (id, lang_pred, quality, n_words) for surviving documents.
     """
-    from .dedup import dedup_groups, jaccard_pairs
+    from .dedup import dedup_groups, jaccard_pairs, minhash_dedup
 
     q = quality_score(df, text_col, id_col).select(id_col, "quality", "n_words")
     l = langid_ngram(df, text_col, id_col).select(id_col, "lang_pred")
     kept = df.join(q, id_col).join(l, id_col).filter(F.col("quality") >= min_quality)
     if lang is not None:
         kept = kept.filter(F.col("lang_pred") == lang)
-    pairs = jaccard_pairs(kept, id_col, text_col, n=shingle_n, threshold=jaccard_threshold)
+    if dedup_strategy == "lsh":
+        pairs = minhash_dedup(
+            kept, id_col, text_col,
+            n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
+            threshold=jaccard_threshold,
+        )
+    elif dedup_strategy == "exact":
+        pairs = jaccard_pairs(kept, id_col, text_col, n=shingle_n, threshold=jaccard_threshold)
+    else:
+        raise ValueError(f"dedup_strategy must be lsh|exact, got {dedup_strategy!r}")
     groups = dedup_groups(pairs).withColumnRenamed("id", id_col)
     return (
         kept.join(groups.select(id_col, "is_kept"), id_col, "left")
