@@ -99,6 +99,28 @@ def main(sf_dir: str) -> int:
     if " Exchange " in p:
         failures.append("image pipeline shuffles (should be map-only)")
 
+    # 7. LSH verify touches only candidate pairs: the pair list broadcasts
+    #    into the shingle table (no full-corpus shingle self-join)
+    p = plan_of(entrymod.queries()["minhash_lsh_dedup"](spark, sf_dir))
+    if "BroadcastExchange" not in p:
+        failures.append("minhash verify does not broadcast the candidate pairs")
+
+    # 8. blocked near-dup: bucket-join, never a nested-loop over the corpus
+    p = plan_of(entrymod.queries()["embedding_near_dup_blocked"](spark, sf_dir))
+    if "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p:
+        failures.append("blocked near-dup plans a nested-loop join")
+
+    # 9. IVF centroid sample: top-k, not a global sort
+    from video_features_spark.operators.similarity import _l2  # noqa: F401
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sampled = (
+        emb.select(F.xxhash64("vec_id").alias("__h"), "embedding").orderBy("__h").limit(64)
+    )
+    p = plan_of(sampled)
+    if "TakeOrderedAndProject" not in p:
+        failures.append("IVF sample does not compile to TakeOrderedAndProject")
+
     spark.stop()
     if failures:
         print("PLAN AUDIT FAILURES:")
