@@ -713,14 +713,16 @@ def _q_audio_logmel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from video_features_spark.sources.datagen import generate_audio
 
     n = max(_n_images(sf_dir) // 5, 20)
-    clips = generate_audio(spark, n)
+    # cached: the invariant checks below plus the driver's final collect would
+    # otherwise regenerate + re-decode the clips once per job
+    clips = generate_audio(spark, n).cache()
     feats = extract_audio_features(clips)
     out = feats.filter(F.col("error").isNull()).select(
         "clip_id",
         "entity_id",
         "example_idx",
         F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x).alias("emb_sq_norm"),
-    )
+    ).cache()
     expected = clips.select(
         "clip_id",
         F.floor((F.lit(1) + F.floor((F.col("n_samples") - 400) / 160)) / 96).alias("n_exp"),
