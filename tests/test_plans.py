@@ -32,7 +32,7 @@ def test_build_checks_schema(spark, tmp_path):
     p = str(tmp_path / "imgs")
     spark.range(3).write.parquet(p)  # wrong schema on purpose
     spec = FeatureJobSpec(images_path=p, labels_path=p, output_path=str(tmp_path / "o"))
-    with pytest.raises(ValueError, match="images table missing"):
+    with pytest.raises(ValueError, match="image table missing"):
         build(spark, spec)
 
 
@@ -52,3 +52,37 @@ def test_run_end_to_end_and_resume(spark, tmp_path):
     assert stats2["parts_skipped"] == stats["parts_written"]
     assert stats2["rows_written"] == 0
     assert os.path.isdir(os.path.join(op, "_manifest"))
+
+
+def test_audio_job_spec_end_to_end_and_resume(spark, tmp_path):
+    from video_features_spark.plans.pipeline import FeatureJobSpec, run
+    from video_features_spark.sources.datagen import generate_audio, generate_labels
+
+    clips = str(tmp_path / "clips")
+    labels = str(tmp_path / "labels")
+    out = str(tmp_path / "out")
+    generate_audio(spark, 30, n_entities=5).write.parquet(clips)
+    generate_labels(spark, 20, n_entities=5).write.parquet(labels)
+    spec = FeatureJobSpec(
+        images_path=clips, labels_path=labels, output_path=out,
+        model="vggish-det", modality="audio", num_parts=4,
+    )
+    stats = run(spark, spec)
+    assert stats["parts_written"] > 0 and stats["rows_written"] == 20
+    # re-run resumes to a no-op
+    stats2 = run(spark, spec)
+    assert stats2["parts_written"] == 0 and stats2["parts_skipped"] == stats["parts_written"]
+
+
+def test_job_spec_validates_modality_and_precision(tmp_path):
+    import pytest as _pytest
+
+    from video_features_spark.plans.pipeline import FeatureJobSpec
+
+    base = dict(images_path="a", labels_path="b", output_path="c")
+    with _pytest.raises(ValueError, match="modality"):
+        FeatureJobSpec(**base, modality="video").validate()
+    with _pytest.raises(ValueError, match="precision"):
+        FeatureJobSpec(**base, precision="int8").validate()
+    FeatureJobSpec(**base, modality="audio", model="vggish-det").validate()
+    FeatureJobSpec(**base, precision="fp16", augment_seed=7).validate()

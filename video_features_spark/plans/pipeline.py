@@ -23,22 +23,29 @@ from ..functions.embed import MODEL_REGISTRY
 class FeatureJobSpec:
     """One point-in-time feature-extraction job over the input_hint table."""
 
-    images_path: str
+    images_path: str                 # media table (images OR audio clips)
     labels_path: str
     output_path: str
     model: str = "clip-small-det"
+    modality: str = "image"          # image | audio (reference feature_type dispatch)
     strict: bool = True              # leakage-free: feature.ts strictly < label_ts
     salt_threshold: int | None = None  # probe rows/entity before hot-key salting
     num_parts: int = 64              # checkpoint/resume granularity
     snapshot_id: str = "snapshot-0"
+    precision: str = "fp32"          # fp32 | fp16 weight quantization (image)
+    augment_seed: int | None = None  # seeded deterministic augmentation (image)
     extra_feature_cols: tuple[str, ...] = field(default_factory=tuple)
 
     def validate(self) -> None:
         """sanity_check analog (utils/utils.py:74-132): fail fast on the driver."""
-        if self.model not in MODEL_REGISTRY:
+        if self.modality not in ("image", "audio"):
+            raise ValueError(f"modality must be image|audio, got {self.modality!r}")
+        if self.modality == "image" and self.model not in MODEL_REGISTRY:
             raise ValueError(
                 f"unknown model {self.model!r}; registry: {sorted(MODEL_REGISTRY)}"
             )
+        if self.precision not in ("fp32", "fp16"):
+            raise ValueError(f"precision must be fp32|fp16, got {self.precision!r}")
         if self.num_parts < 1:
             raise ValueError("num_parts must be >= 1")
         if self.salt_threshold is not None and self.salt_threshold < 1:
@@ -48,6 +55,7 @@ class FeatureJobSpec:
 
 
 REQUIRED_IMAGE_COLS = ("image_id", "bytes", "fmt", "entity_id", "ts")
+REQUIRED_AUDIO_COLS = ("clip_id", "audio", "entity_id", "ts")
 REQUIRED_LABEL_COLS = ("entity_id", "label_ts")
 
 
@@ -60,16 +68,31 @@ def build(spark: SparkSession, spec: FeatureJobSpec) -> DataFrame:
     from ..sources.tables import read_snapshot
 
     spec.validate()
-    images = read_snapshot(spark, spec.images_path, spec.snapshot_id)
+    media = read_snapshot(spark, spec.images_path, spec.snapshot_id)
     labels = read_snapshot(spark, spec.labels_path, spec.snapshot_id)
-    for c in REQUIRED_IMAGE_COLS:
-        if c not in images.columns:
-            raise ValueError(f"images table missing column {c!r}")
+    required = REQUIRED_IMAGE_COLS if spec.modality == "image" else REQUIRED_AUDIO_COLS
+    for c in required:
+        if c not in media.columns:
+            raise ValueError(f"{spec.modality} table missing column {c!r}")
     for c in REQUIRED_LABEL_COLS:
         if c not in labels.columns:
             raise ValueError(f"labels table missing column {c!r}")
 
-    feats = extract_image_features(images, spec.model)
+    if spec.modality == "audio":
+        from pyspark.sql import functions as F
+
+        from ..operators.audio import extract_audio_features
+
+        # clip-level feature = the first 0.96 s example's embedding (one row
+        # per clip, deterministic); quarantined clips drop out of the build
+        # side the same way undecodable images do
+        feats = extract_audio_features(media, spec.model).filter(
+            F.col("error").isNull() & (F.col("example_idx") == 0)
+        )
+    else:
+        feats = extract_image_features(
+            media, spec.model, precision=spec.precision, augment_seed=spec.augment_seed
+        )
     right_cols = ["entity_id", "ts", "embedding", *spec.extra_feature_cols]
     return asof_join(
         labels,
