@@ -703,6 +703,54 @@ def _q_image_phash_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout query: both join sides are written bucketBy(user_id)
+    with the same bucket count, then joined — the bucketed-scan distribution
+    satisfies the join requirement, so the plan carries NO Exchange (asserted
+    in-query under a disabled broadcast threshold; the values are layout-
+    independent, so the oracle is the plain SQL join). At 100 TB this is the
+    amortize-one-shuffle-at-write-time pattern for the feature store."""
+    import os
+
+    from video_features_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/vfs_bucketed_{tag}"
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    feat = (
+        _read(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("feat_price"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    write_bucketed(ev, f"vfs_ev_{tag}", ["user_id"], 8,
+                   sort_cols=["user_id", "ts"], path=f"{base}/ev")
+    write_bucketed(feat, f"vfs_feat_{tag}", ["user_id"], 8, path=f"{base}/feat")
+    out = (
+        read_bucketed(spark, f"vfs_ev_{tag}")
+        .join(read_bucketed(spark, f"vfs_feat_{tag}"), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("feat_price").alias("feat_price"),
+        )
+    )
+    # self-audit: the co-location contract must hold, or this query fails loudly
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise AssertionError("bucketed join planned an Exchange — co-location broken")
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+    return out
+
+
 def _q_audio_logmel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio family end-to-end (S5/S6/P17/A6): WAV demux → mono mixdown →
     log-mel examples → 128-d embedding, one row per 0.96 s example. Rows-only
@@ -848,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_asof": _q_image_phash_asof,
         "audio_logmel": _q_audio_logmel,
         "image_augmented_fp16": _q_image_augmented_fp16,
+        "bucketed_join": _q_bucketed_join,
     }
 
 
@@ -1209,6 +1258,14 @@ def oracle_sql() -> dict[str, str]:
                                    w -> w IN ('le','la','de','et')))::DOUBLE
                      / len(string_split_regex(trim(text), '\s+')) AS score_fr
             FROM documents
+        """,
+        "bucketed_join": """
+            SELECT e.user_id, count(*) AS n_events, sum(e.value) AS sum_value,
+                   max(f.feat_price) AS feat_price
+            FROM events e
+            JOIN (SELECT o_custkey AS user_id, max(o_totalprice) AS feat_price
+                  FROM orders GROUP BY 1) f USING (user_id)
+            GROUP BY e.user_id
         """,
         "langid_ngram": _langid_ngram_oracle(),
         "curate_corpus": _curate_oracle(),
