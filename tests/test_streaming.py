@@ -122,3 +122,48 @@ def test_stream_running_state_across_microbatches(spark, events_dir):
     got = {r["entity_id"]: r["n"] for r in final.collect()}
     want = {r["entity_id"]: r["n"] for r in batch.collect()}
     assert got == want
+
+
+def test_stream_asof_lookup_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming point-in-time lookup (stream probes vs static feature
+    snapshot) must reproduce the batch as-of join exactly, including
+    left-outer nulls for probes with no earlier feature."""
+    from video_features_spark.operators import asof_join
+    from video_features_spark.streaming import stream_asof_lookup
+
+    probes_dir = str(tmp_path / "probes")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id", "ts")
+    # one orphan probe (no orders for user -1) pins the left-outer contract
+    orphan = ev.limit(1).select(
+        F.lit(-999).alias("event_id"), F.lit(-1).alias("user_id"), F.col("ts")
+    )
+    ev = ev.unionByName(orphan)
+    ev.repartition(3).write.parquet(probes_dir)
+    feat = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_totalprice").alias("feat_price"))
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    sdf = _read_stream(spark, probes_dir)
+    res = _run_stream(
+        spark,
+        stream_asof_lookup(
+            sdf, feat, on=["user_id"], left_ts="ts", right_ts="o_orderdate",
+            strict=True, watermark="3650 days",
+        ),
+        "t_asof_lookup", mode="complete",
+    )
+    got = {
+        (r["event_id"], r["feat_price"], r["o_orderdate_asof"]) for r in res.collect()
+    }
+    batch = asof_join(
+        ev, feat, on=["user_id"], left_ts="ts", right_ts="o_orderdate", strict=True
+    )
+    want = {
+        (r["event_id"], r["feat_price"], r["o_orderdate_asof"]) for r in batch.collect()
+    }
+    assert len(got) == ev.count()
+    assert got == want
+    # left-outer contract: the orphan probe survives with null features
+    assert any(e == -999 and p is None for e, p, _ in got)

@@ -119,3 +119,67 @@ def stream_running_entity_state(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_asof_lookup(
+    probes: DataFrame,
+    static_features: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "label_ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    strict: bool = True,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming point-in-time feature lookup — the streaming twin of
+    ``operators.asof.asof_join`` for the stream-probe/static-build case (a
+    label stream enriched against a feature-store snapshot).
+
+    The union+window trick the batch strategy uses is unavailable on a stream
+    (non-time window functions are unsupported), so this uses a stream-static
+    LEFT join whose condition carries the temporal predicate (key equality AND
+    ``build_ts < probe_ts``; unmatched probes keep one null row — the batch
+    left-outer contract), then ``max(struct(ts, payload))`` per probe: latest
+    ``right_ts`` wins, payload fields break exact-ts ties deterministically
+    (the same duplicate-ts contract as the batch strategies). State is bounded
+    by the watermark on probe time.
+
+    Cost note: the pre-aggregation join fans out probe×earlier-builds-per-key
+    before the max collapses it — fine when per-key build history is bounded
+    (the feature-store case); for unbounded histories, compact the static side
+    first (e.g. ``operators.windows.resample``).
+    """
+    from functools import reduce
+
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in static_features.columns if c not in on and c != right_ts]
+    right_cols = list(right_cols)
+    asof_ts = f"{right_ts}_asof"
+    p = _tz(probes, left_ts).withWatermark(left_ts, watermark).alias("__p")
+    b = _tz(static_features, right_ts).alias("__b")
+    temporal = (
+        F.col(f"__b.{right_ts}") < F.col(f"__p.{left_ts}")
+        if strict
+        else F.col(f"__b.{right_ts}") <= F.col(f"__p.{left_ts}")
+    )
+    cond = reduce(
+        lambda a, c: a & c,
+        [F.col(f"__p.{k}") == F.col(f"__b.{k}") for k in on] + [temporal],
+    )
+    joined = p.join(b, cond, "left")
+    probe_cols = [c for c in probes.columns if c not in on and c != left_ts]
+    payload = F.struct(
+        F.col(f"__b.{right_ts}").alias(asof_ts),
+        *[F.col(f"__b.{c}").alias(c) for c in right_cols],
+    )
+    agg = joined.groupBy(
+        *[F.col(f"__p.{k}").alias(k) for k in on],
+        F.col(f"__p.{left_ts}").alias(left_ts),
+        *[F.col(f"__p.{c}").alias(c) for c in probe_cols],
+    ).agg(F.max(payload).alias("__best"))
+    return agg.select(
+        *on, left_ts, *probe_cols,
+        *[F.col(f"__best.{c}").alias(c) for c in right_cols],
+        F.col(f"__best.{asof_ts}").alias(asof_ts),
+    )
