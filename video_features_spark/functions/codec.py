@@ -1,14 +1,18 @@
-"""Image codecs for the ``bytes`` column: pure-numpy PNG (real, lossless) and a
-deterministic quantizing lossy codec ("qjpg") standing in for JPEG.
+"""Image codecs for the ``bytes`` column: pure-numpy PNG (real, lossless),
+pure-numpy baseline JPEG (real, ``functions/jpeg.py``), and a deterministic
+quantizing lossy codec ("qjpg") used as the fast stand-in in the synthetic
+hot path.
 
 Replaces the reference's cv2-based decode
 (``/root/reference/utils/io.py:109-154``: ``cv2.VideoCapture`` → BGR frame →
-``cv2.cvtColor(BGR2RGB)`` at ``io.py:131``). This container has no PIL/cv2/ffmpeg,
-so: PNG is implemented against the real spec (zlib + scanline filters — decodes
-any 8-bit RGB PNG, encodes filter-0), and the lossy path is a clearly-marked
-deterministic stand-in whose quantization error keeps PSNR ≈ 46 dB, exercising
-the input_hint's "PSNR ≥ 40 dB for lossy formats" invariant for real. When PIL
-is present (real deployments) it is preferred automatically.
+``cv2.cvtColor(BGR2RGB)`` at ``io.py:131``) with zero native dependencies:
+PNG implemented against the real spec (zlib + scanline filters — decodes any
+8-bit RGB PNG, encodes filter-0); real ``.jpg`` payloads decode through the
+baseline T.81 decoder (progressive raises with a clear hint); QJPG is a
+clearly-marked deterministic stand-in (PSNR ≈ 46 dB) kept for the synthetic
+benchmark corpus because a Python Huffman loop in the 400k-image hot path
+would measure the codec, not the engine. When PIL is present (real
+deployments) it is preferred automatically for both PNG and JPEG.
 
 All functions operate on ``uint8 H×W×3`` RGB arrays.
 """
@@ -134,8 +138,12 @@ def decode_qjpg(data: bytes) -> np.ndarray:
 def encode_image(arr: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(arr)
-    if fmt in ("jpeg", "jpg", "qjpg"):
+    if fmt in ("jpeg", "qjpg"):
         return encode_qjpg(arr)
+    if fmt == "jpg":  # real baseline JPEG (pure numpy, functions/jpeg.py)
+        from .jpeg import encode_jpeg
+
+        return encode_jpeg(arr, quality=97)
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 
@@ -150,13 +158,18 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
         return decode_png(data)
     if data[:4] == _QJPG_MAGIC:
         return decode_qjpg(data)
-    if _HAS_PIL:  # pragma: no cover - real JPEG et al. need PIL
+    if _HAS_PIL:  # pragma: no cover - preferred for real JPEG (fast C path)
         import io
 
         return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    if data[:2] == b"\xff\xd8":
+        # pure-numpy baseline JPEG fallback (functions/jpeg.py) — slower than
+        # PIL but dependency-free; progressive streams raise with a clear hint
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
-        f"no codec for payload (fmt={fmt!r}); real JPEG decode requires PIL/cv2, "
-        "not available in this container"
+        f"no codec for payload (fmt={fmt!r}): not PNG/QJPG/JPEG"
     )
 
 
