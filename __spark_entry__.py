@@ -159,6 +159,40 @@ def _q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "win_start", "n_events", "sum_value")
 
 
+def _q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (§2.5 breadth): per-user rolling 7-day event
+    count + sum over event time — rangeBetween on epoch seconds, the frame
+    shape ROWS frames can't express when events are irregular. Decimal sum
+    keeps the arithmetic associative, so Spark and DuckDB agree bit-exactly."""
+    ev = _read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("double"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        # decimal accumulation = associative/exact; cast to double AFTER the
+        # sum so both engines transport the identical float64
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_7d"),
+    )
+
+
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (A3 breadth): p50/p95 of
+    lineitem quantity — Spark `percentile` and DuckDB `quantile_cont` share
+    the same interpolation definition."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.95)").alias("p95_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def _q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem")
     return li.agg(
@@ -863,6 +897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_limit": _q_sort_limit,
         "sliding_stacks": _q_sliding_stacks,
         "tumbling_daily": _q_tumbling_daily,
+        "rolling_7d": _q_rolling_7d,
+        "percentiles": _q_percentiles,
         "stats_lineitem": _q_stats,
         "distinct_guard": _q_distinct_guard,
         "tpch_q1": _q_tpch_q1,
@@ -1178,6 +1214,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, date_trunc('day', ts) AS win_start,
                    count(*) AS n_events, sum(value) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "rolling_7d": """
+            SELECT event_id, user_id, ts,
+                   count(*) OVER w AS n_7d,
+                   sum(value::DECIMAL(18,6)) OVER w AS sum_7d
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
+        """,
+        "percentiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.5) AS p50_qty,
+                   quantile_cont(l_quantity, 0.95) AS p95_qty,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
         """,
         "stats_lineitem": """
             SELECT min(l_quantity) AS min_qty, avg(l_quantity) AS avg_qty,
