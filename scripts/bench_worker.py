@@ -215,7 +215,8 @@ def _run_queries(spark, args, out: dict) -> None:
         "asof_window", "asof_merge", "asof_salted", "lag_lead", "backfill",
         "sessionize", "resample", "topk_per_group", "sliding_stacks",
         "tumbling_daily", "tpch_q1", "tpch_q3", "dedup_exact", "cosine_topk",
-        "token_count", "embedding_quantize",
+        "token_count", "embedding_quantize", "rolling_7d", "percentiles",
+        "bucketed_join",
         # dedup/text suite (the scale-path operators need timings too)
         "curate_corpus", "dedup_groups", "minhash_lsh_dedup",
         "embedding_near_dup_blocked", "ann_lsh_topk", "simhash_sigs",
