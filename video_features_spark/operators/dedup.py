@@ -172,19 +172,25 @@ def lsh_candidate_pairs(
 
 
 def jaccard_on_pairs(
-    sh: DataFrame, pairs: DataFrame, id_col: str, threshold: float = 0.0
+    sh: DataFrame, pairs: DataFrame, id_col: str, threshold: float = 0.0,
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
     """Exact Jaccard restricted to a given candidate pair list — the verifier
     LSH exists to feed. Only candidate pairs' shingles are joined: the pair
-    list (small, post-LSH) broadcasts into the shingle table, so the cost is
-    O(candidates × shingles-per-doc), never the full-corpus shingle self-join.
+    list broadcasts into the shingle table (default — post-LSH candidate sets
+    are small relative to the corpus), so the cost is O(candidates ×
+    shingles-per-doc), never the full-corpus shingle self-join. If a loose
+    banding config makes the candidate set itself huge, pass
+    ``broadcast_pairs=False`` to fall back to a shuffle join on id_a instead
+    of forcing an executor-memory-sized broadcast.
 
     ``sh`` is a ``shingle_table`` output; ``pairs`` has (id_a, id_b)."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sha = sh.select(F.col(id_col).alias("id_a"), "h")
     shb = sh.select(F.col(id_col).alias("id_b"), "h")
+    cand = F.broadcast(pairs) if broadcast_pairs else pairs
     inter = (
-        sha.join(F.broadcast(pairs), "id_a")
+        sha.join(cand, "id_a")
         .join(shb, ["id_b", "h"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -211,6 +217,7 @@ def minhash_dedup(
     bands: int = 8,
     shingle_n: int = 5,
     threshold: float = 0.7,
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash → LSH banding → candidate pairs →
     exact-Jaccard verification ≥ threshold, computed ONLY over the LSH
@@ -220,7 +227,7 @@ def minhash_dedup(
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     cands = lsh_candidate_pairs(sigs, id_col, bands)
     sh = shingle_table(df, id_col, text_col, shingle_n)
-    return jaccard_on_pairs(sh, cands, id_col, threshold)
+    return jaccard_on_pairs(sh, cands, id_col, threshold, broadcast_pairs)
 
 
 def connected_components(
