@@ -170,3 +170,20 @@ def test_augmentation_deterministic_and_diverse(spark):
     # and genuinely different from the clean pipeline for most rows
     changed = sum(not np.allclose(clean[k], aug[k], atol=1e-6) for k in clean)
     assert changed >= len(clean) // 2
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(1, 4000),
+    ch=st.integers(1, 2),
+    sr=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(seed, n, ch, sr):
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-32768, 32767, (n, ch), dtype=np.int16)
+    x, sr2 = decode_wav(encode_wav(pcm if ch > 1 else pcm[:, 0], sr))
+    assert sr2 == sr and x.shape == (n, ch) and (x == pcm).all()
