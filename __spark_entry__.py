@@ -212,6 +212,27 @@ def _q_distinct_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch coverage (the approximate path of A5's distinct guard): per
+    group, the exact distinct count PLUS a boolean pinning the HLL estimate
+    within 5% of it. HLL register-merge is max-based ⇒ order/partitioning
+    independent ⇒ the boolean is deterministic, so the oracle simply asserts
+    TRUE — if Spark's sketch ever drifts, the driver hash fails loudly. At
+    100 TB the sketch is the affordable first pass; the exact count is the
+    audit."""
+    li = _read(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_exact"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("__est"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_exact",
+        (F.abs(F.col("__est") - F.col("n_exact")) / F.col("n_exact") <= 0.05)
+        .alias("sketch_within_5pct"),
+    )
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem")
     return (
@@ -901,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": _q_percentiles,
         "stats_lineitem": _q_stats,
         "distinct_guard": _q_distinct_guard,
+        "distinct_sketch": _q_distinct_sketch,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3": _q_tpch_q3,
         "rollup_sales": _q_rollup_sales,
@@ -1240,6 +1262,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows,
                    count(*) = count(DISTINCT l_orderkey || '-' || l_linenumber) AS pk_unique
             FROM lineitem
+        """,
+        "distinct_sketch": """
+            SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact,
+                   TRUE AS sketch_within_5pct
+            FROM lineitem GROUP BY l_returnflag
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
