@@ -357,6 +357,16 @@ def _q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_ngram(_read(spark, sf_dir, "documents"))
 
 
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash fingerprinting from the
+    task brief; MOSS algorithm) — exploded (doc_id, fingerprint) set."""
+    from video_features_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _read(spark, sf_dir, "documents"), k=_SHINGLE_N, w=4
+    )
+
+
 def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4-style embedding post-transform (vggish_postprocess.py:51-90 semantics:
     clip to [-2,2] → scale to [0,255] → floor): integer outputs so the check is
@@ -933,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_scores": _q_langid,
         "langid_ngram": _q_langid_ngram,
         "curate_corpus": _q_curate_corpus,
+        "doc_fingerprints": _q_doc_fingerprints,
         "embedding_quantize": _q_embedding_quantize,
         "cosine_topk": _q_cosine_topk,
         "minhash_sigs": _q_minhash_sigs,
@@ -1347,6 +1358,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "langid_ngram": _langid_ngram_oracle(),
         "curate_corpus": _curate_oracle(),
+        "doc_fingerprints": """
+            WITH h AS (
+              SELECT doc_id,
+                     list_transform(range(1, greatest(length(text)-5+1, 1)+1),
+                                    i -> ('0x'||substr(md5(substr(text, i::INT, 5)),1,8))::BIGINT)
+                       AS hl
+              FROM documents),
+            wins AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(hl)-4+1, 1)+1),
+                       i -> list_aggregate(list_slice(hl, i::INT, i::INT+3), 'min'))) AS fps
+              FROM h)
+            SELECT doc_id, unnest(fps) AS fingerprint FROM wins
+        """,
         "embedding_quantize": """
             SELECT vec_id,
                    list_sum(list_transform(embedding,

@@ -69,3 +69,32 @@ def test_quality_score_orders_degenerate_docs(spark):
     q = {r["doc_id"]: r["quality"] for r in quality_score(df).collect()}
     assert q[1] > q[2] and q[1] > q[3] and q[1] > q[4]
     assert q[2] < 0.1  # punctuation soup is near-zero
+
+
+def test_winnowing_guarantees_shared_fingerprint_on_copies(spark):
+    """The winnowing guarantee: any copied span of length >= w+k-1 chars
+    produces at least one shared fingerprint (MOSS §2); unrelated docs of
+    disjoint alphabets share none."""
+    from video_features_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over it"  # 33 chars >= 4+5-1
+    df = spark.createDataFrame(
+        [
+            (1, f"AAA BBB CCC {shared} DDD EEE"),
+            (2, f"xxyyzz {shared} qqrrss uuvvww"),
+            (3, "0123456789 9876543210 0246813579"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=5, w=4)
+    rows = fps.collect()
+    by_doc = {d: {r["fingerprint"] for r in rows if r["doc_id"] == d} for d in (1, 2, 3)}
+    assert by_doc[1] & by_doc[2], "copied span must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # deterministic across partitionings
+    a = sorted((r["doc_id"], r["fingerprint"]) for r in fps.collect())
+    b = sorted(
+        (r["doc_id"], r["fingerprint"])
+        for r in winnow_fingerprints(df.repartition(5), k=5, w=4).collect()
+    )
+    assert a == b

@@ -149,3 +149,38 @@ def quality_score(
         upper_ratio.alias("upper_ratio"),
         composite.alias("quality"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Document fingerprinting by winnowing (the MOSS algorithm, Schleimer/
+    Wilkerson/Aiken 2003): hash every k-gram position, slide a window of
+    ``w`` consecutive position-hashes, keep each window's minimum — the
+    selected set is a compact, position-robust fingerprint guaranteed to
+    share a hash with any copy of length ≥ w+k-1. Pure JVM (higher-order
+    functions over an index sequence, no UDF, no explode until the final
+    distinct set), md5-prefix hashes ⇒ DuckDB reproduces the fingerprint set
+    exactly. Emits exploded ``(id, fingerprint)`` rows.
+
+    At corpus scale the fingerprint table is the substrate for copy
+    detection: group by fingerprint, pairs sharing ≥ t fingerprints are
+    plagiarism/near-copy candidates — same join shape as the shingle
+    verifier, ~1/w the rows."""
+    from .dedup import shingle_hash
+
+    t = F.col(text_col)
+    pos = F.sequence(F.lit(1), F.greatest(F.length(t) - k + 1, F.lit(1)))
+    hashes = F.transform(pos, lambda i: shingle_hash(t.substr(i, F.lit(k))))
+    n_win = F.greatest(F.size(hashes) - w + 1, F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), n_win),
+        lambda i: F.array_min(F.slice(hashes, i, w)),
+    )
+    return df.select(
+        id_col, F.explode(F.array_distinct(wins)).alias("fingerprint")
+    )
