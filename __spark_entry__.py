@@ -496,8 +496,11 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means cells + nprobe probing (rows-only;
-    recall vs brute force gated in tests)."""
+    """IVF (inverted-file) ANN: k-means cells + nprobe probing. Oracle-checked:
+    the fit is deterministic (hash-ordered sample + seeded farthest-point
+    k-means), so ``_ann_ivf_oracle`` re-derives the identical centroids outside
+    Spark and bakes them into the DuckDB SQL as literals — the same pattern the
+    LSH oracles use for plane literals. Recall vs brute force gated in tests."""
     from video_features_spark.operators.similarity import ivf_ann_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -1081,6 +1084,97 @@ def _ann_lsh_oracle(k: int = 5, dim: int = 64, n_planes: int = 2, n_tables: int 
     """
 
 
+def _xxhash64_long(v: int, seed: int = 42) -> int:
+    """Spark's ``xxhash64`` for a LongType input (XXH64 single-lane path,
+    seed 42; published algorithm) — signed 64-bit result. Lets the IVF oracle
+    reproduce the operator's hash-ordered centroid sample outside Spark."""
+    m = (1 << 64) - 1
+    p1, p2, p3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    p4, p5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & m
+
+    v &= m
+    h = (seed + p5 + 8) & m
+    h ^= (rotl((v * p2) & m, 31) * p1) & m
+    h = (rotl(h, 27) * p1 + p4) & m
+    h ^= h >> 33
+    h = (h * p2) & m
+    h ^= h >> 29
+    h = (h * p3) & m
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _ann_ivf_oracle(
+    k: int = 5, n_centroids: int = 16, nprobe: int = 4,
+    sample_size: int = 4096, iters: int = 10,
+) -> str:
+    """DuckDB twin of the ``ann_ivf_topk`` driver query. The IVF fit is fully
+    deterministic (sample = rows with smallest (xxhash64(vec_id), vec_id),
+    seeded farthest-point k-means in float32), so this re-runs the identical
+    numpy fit over the identical sample — drawn here via the pure-Python
+    xxhash64 above — and bakes the resulting centroids into the SQL as
+    literals, exactly as ``_ann_lsh_oracle`` bakes plane literals. Cell
+    assignment ranks raw float64 centroid dots on both engines (the Spark
+    side's ``ivf_assign`` computes the same quantity), so near-tie cells
+    cannot drift. The data path defaults to the driver's comparison scale
+    (sf0.01); ``VFS_ORACLE_SF_DIR`` overrides it for local mirrors."""
+    import duckdb
+    import numpy as np
+
+    from video_features_spark.operators.similarity import kmeans_fit_sample
+
+    sf_dir = os.environ.get("VFS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    con.close()
+    rows.sort(key=lambda r: (_xxhash64_long(r[0]), r[0]))
+    x = np.array([r[1] for r in rows[:sample_size]], dtype=np.float32)
+    cents = kmeans_fit_sample(x, n_centroids, iters)
+    cent_values = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (c, ", ".join(repr(float(v)) for v in row))
+        for c, row in enumerate(cents)
+    )
+    return f"""
+        WITH cents(cell, cvec) AS (VALUES {cent_values}),
+        base AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding, x -> x*x))) AS nrm
+          FROM embeddings),
+        dots AS (
+          SELECT b.vec_id, c.cell,
+                 list_sum(list_transform(list_zip(b.embedding, c.cvec),
+                                         p -> p[1]*p[2])) AS d
+          FROM base b CROSS JOIN cents c),
+        ranked AS (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, cell ASC) AS r
+          FROM dots),
+        corp AS (
+          SELECT b.vec_id, b.embedding, b.nrm, r.cell
+          FROM base b JOIN ranked r ON r.vec_id = b.vec_id AND r.r = 1),
+        q AS (
+          SELECT b.vec_id AS query_id, b.embedding AS q_emb, b.nrm AS q_nrm, r.cell
+          FROM base b JOIN ranked r ON r.vec_id = b.vec_id AND r.r <= {nprobe}
+          WHERE b.vec_id < 5),
+        sims AS (
+          SELECT q.query_id, c.vec_id,
+                 list_sum(list_transform(list_zip(c.embedding, q.q_emb),
+                                         p -> p[1]*p[2])) / (c.nrm * q.q_nrm) AS cos
+          FROM corp c JOIN q ON c.cell = q.cell AND c.vec_id <> q.query_id)
+        SELECT query_id, vec_id, rank FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM sims)
+        WHERE rank <= {k}
+    """
+
+
 def _near_dup_blocked_oracle(threshold: float = 0.4, dim: int = 64,
                              n_planes: int = 4, n_tables: int = 4) -> str:
     """DuckDB twin of embedding_near_dup_blocked (same plane literals)."""
@@ -1388,6 +1482,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_dedup": _minhash_lsh_oracle(),
         "simhash_sigs": _simhash_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
+        "ann_ivf_topk": _ann_ivf_oracle(),
         "cosine_topk": """
             WITH base AS (
               SELECT vec_id, embedding,

@@ -51,6 +51,11 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
 
 
 def main(sf_dir: str) -> int:
+    import os
+
+    # data-dependent oracles (IVF centroid literals) must be generated from
+    # the same tables this mirror compares against, not the driver's sf0.01
+    os.environ["VFS_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark(cores=8)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()

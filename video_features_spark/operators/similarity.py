@@ -55,34 +55,14 @@ def cosine_topk(
 # ---------------------------------------------------------------------------
 
 
-def ivf_fit_centroids(
-    corpus: DataFrame,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-    n_centroids: int = 32,
-    sample_size: int = 4096,
-    iters: int = 10,
-    seed: int = 7,
-) -> np.ndarray:
-    """Deterministic spherical k-means on a fixed sample → (n_centroids, dim)
-    float32, L2-normalized. The sample is the ``sample_size`` rows with the
-    smallest ``xxhash64(id)`` — a deterministic pseudo-random draw that is
-    stable under any partitioning and compiles to TakeOrderedAndProject
-    (per-partition top-k, k rows to the driver), NOT a full global sort; the
-    centroids only need to be representative, the assignment pass below is
-    what scales."""
-    rows = (
-        corpus.select(F.xxhash64(id_col).alias("__h"), F.col(emb_col))
-        .orderBy("__h")
-        .limit(sample_size)
-        .select(emb_col)
-        .collect()
-    )
-    x = np.array([r[0] for r in rows], dtype=np.float32)
-    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    # deterministic farthest-point init (k-means++ greedy flavor): spreads the
-    # seeds across the sphere instead of gambling on a random draw — recall at
-    # low nprobe is much less sensitive to the sample than with random init
+def kmeans_fit_sample(x: np.ndarray, n_centroids: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means over an ORDERED float32 sample —
+    farthest-point init (k-means++ greedy flavor: spreads the seeds across the
+    sphere instead of gambling on a random draw) then ``iters`` Lloyd rounds.
+    Bit-deterministic for a given sample order, so an external oracle that
+    reproduces the sample reproduces the centroids exactly."""
+    x = np.asarray(x, dtype=np.float32)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     k = min(n_centroids, len(x))
     cents = np.empty((k, x.shape[1]), np.float32)
     cents[0] = x[0]
@@ -102,6 +82,35 @@ def ivf_fit_centroids(
     return cents.astype(np.float32)
 
 
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_centroids: int = 32,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Deterministic spherical k-means on a fixed sample → (n_centroids, dim)
+    float32, L2-normalized. The sample is the ``sample_size`` rows with the
+    smallest ``(xxhash64(id), id)`` — a deterministic pseudo-random draw that
+    is stable under any partitioning and compiles to TakeOrderedAndProject
+    (per-partition top-k, k rows to the driver), NOT a full global sort; the
+    centroids only need to be representative, the assignment pass below is
+    what scales. The draw + fit are reproducible outside Spark (xxhash64 is a
+    published algorithm), which is how the driver oracle re-derives the same
+    centroid literals."""
+    rows = (
+        corpus.select(F.xxhash64(id_col).alias("__h"), F.col(id_col), F.col(emb_col))
+        .orderBy("__h", id_col)
+        .limit(sample_size)
+        .select(emb_col)
+        .collect()
+    )
+    x = np.array([r[0] for r in rows], dtype=np.float32)
+    return kmeans_fit_sample(x, n_centroids, iters)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: np.ndarray,
@@ -112,15 +121,17 @@ def ivf_assign(
     """Attach the ``nprobe`` nearest-centroid cell ids (exploded: one row per
     probed cell). Centroids ride to executors inside the UDF closure (same
     mechanism as broadcast for this size); the matmul is one Arrow batch at a
-    time — no per-row Python."""
-    cents = centroids  # captured; ~n_centroids×dim floats
+    time — no per-row Python. Ranking uses the RAW dot product in float64:
+    dividing by the row's own norm cannot change its per-row ordering, and
+    float64 raw dots are what a SQL oracle computes — rounding-level parity
+    keeps near-tie cell assignments identical across engines."""
+    cents = np.asarray(centroids, dtype=np.float64)  # ~n_centroids×dim
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _cells(embs: pd.Series) -> pd.Series:
-        x = np.array(embs.tolist(), dtype=np.float32)
-        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        x = np.array(embs.tolist(), dtype=np.float64)
         sims = x @ cents.T
-        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype(int).tolist() for row in top])
 
     return df.withColumn(out_col, F.explode(_cells(F.col(emb_col))))
