@@ -1084,6 +1084,102 @@ def _ann_lsh_oracle(k: int = 5, dim: int = 64, n_planes: int = 2, n_tables: int 
     """
 
 
+def _oracle_sf_dir() -> str:
+    """Data path for data-dependent oracle generation. The driver compares
+    Spark vs DuckDB at sf0.01; local mirrors override via VFS_ORACLE_SF_DIR."""
+    return os.environ.get("VFS_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _oracle_n_images() -> int:
+    return _SF_ROWS.get(os.path.basename(_oracle_sf_dir().rstrip("/")), 1000)
+
+
+def _regen_image_rows(n: int, n_entities: int) -> list[tuple]:
+    """Re-run the deterministic image generator outside Spark: every row is a
+    pure function of (seed, rid) (sources/datagen._row), so the driver oracle
+    can rebuild the image queries' scalar inputs without a SparkSession or a
+    run-order dependency on the Spark query having materialized them first."""
+    from video_features_spark.sources.datagen import SEED, _row
+
+    if not hasattr(_regen_image_rows, "_memo"):
+        _regen_image_rows._memo = {}
+    key = (n, n_entities)
+    if key not in _regen_image_rows._memo:
+        _regen_image_rows._memo[key] = [_row(SEED, rid, n_entities, 0.10) for rid in range(n)]
+    return _regen_image_rows._memo[key]
+
+
+def _sql_str(s: str | None) -> str:
+    return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
+
+
+def _image_phash_sessions_oracle() -> str:
+    """DuckDB twin of image_phash_sessions: the (image_id, phash, ts) inputs
+    are regenerated in pure Python (same seeded generator the Spark query
+    runs) and baked as a VALUES table; the sessionize SQL is the same shape
+    the events-table oracle uses (gap 3600, image_id tiebreak)."""
+    n = _oracle_n_images()
+    rows = _regen_image_rows(n, max(n // 50, 1))
+    values = ", ".join(
+        f"('{r[0]}', {r[8]}, TIMESTAMP '{r[2]}')" for r in rows
+    )
+    return f"""
+        WITH imgs(image_id, phash, ts) AS (VALUES {values}),
+        lagged AS (
+          SELECT image_id, phash, ts,
+                 lag(ts) OVER (PARTITION BY phash ORDER BY ts, image_id) AS prev_ts
+          FROM imgs)
+        SELECT image_id, phash, ts,
+               (sum(CASE WHEN prev_ts IS NULL
+                         OR epoch(ts) - epoch(prev_ts) > 3600 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY phash ORDER BY ts, image_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
+        FROM lagged
+    """
+
+
+def _image_pair_motion_oracle() -> str:
+    """DuckDB twin of image_pair_motion: regenerate the images, run the SAME
+    decode + pair-metrics kernel the operator's UDF runs
+    (operators.temporal_features._pair_metrics over functions.codec decoded
+    pixels — bit-identical float64), and bake the expected output as a VALUES
+    table. The relational pairing (lead over entity ORDER BY ts) is replayed
+    in Python on the same total order (per-entity ts is strictly increasing
+    by construction)."""
+    from video_features_spark.functions.codec import decode_image
+    from video_features_spark.operators.temporal_features import _pair_metrics
+
+    n = _oracle_n_images()
+    n_entities = max(n // 50, 1)
+    rows = _regen_image_rows(n, n_entities)
+    by_entity: dict[str, list[tuple]] = {}
+    for r in rows:
+        by_entity.setdefault(r[1], []).append(r)
+    out = []
+    for ent in sorted(by_entity):
+        seq = sorted(by_entity[ent], key=lambda r: r[2])  # ts order == seq order
+        for a, b in zip(seq, seq[1:]):
+            try:
+                pa = decode_image(bytes(a[3]), a[6])
+                pb = decode_image(bytes(b[3]), b[6])
+                m, c = _pair_metrics(pa, pb)
+                out.append((ent, a[2], b[2], repr(m), repr(c), None))
+            except Exception as e:  # noqa: BLE001 — same quarantine contract
+                out.append((ent, a[2], b[2], "NULL", "NULL", f"{type(e).__name__}: {e}"))
+    values = ", ".join(
+        f"('{ent}', TIMESTAMP '{ts}', TIMESTAMP '{nts}', {m}, {c}, {_sql_str(err)})"
+        for ent, ts, nts, m, c, err in out
+    )
+    return f"""
+        SELECT entity_id, ts, next_ts,
+               mean_abs_motion::DOUBLE AS mean_abs_motion,
+               changed_frac::DOUBLE AS changed_frac,
+               error::VARCHAR AS error
+        FROM (VALUES {values})
+          AS t(entity_id, ts, next_ts, mean_abs_motion, changed_frac, error)
+    """
+
+
 def _xxhash64_long(v: int, seed: int = 42) -> int:
     """Spark's ``xxhash64`` for a LongType input (XXH64 single-lane path,
     seed 42; published algorithm) — signed 64-bit result. Lets the IVF oracle
@@ -1483,6 +1579,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_sigs": _simhash_oracle(),
         "ann_lsh_topk": _ann_lsh_oracle(),
         "ann_ivf_topk": _ann_ivf_oracle(),
+        "image_phash_sessions": _image_phash_sessions_oracle(),
+        "image_pair_motion": _image_pair_motion_oracle(),
         "cosine_topk": """
             WITH base AS (
               SELECT vec_id, embedding,
