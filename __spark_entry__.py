@@ -160,36 +160,29 @@ def _q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-RANGE window frame (§2.5 breadth): per-user rolling 7-day event
-    count + sum over event time — rangeBetween on epoch seconds, the frame
-    shape ROWS frames can't express when events are irregular. Decimal sum
-    keeps the arithmetic associative, so Spark and DuckDB agree bit-exactly."""
+    """Time-RANGE window frame (§2.5 breadth) via the library operator: per-
+    user rolling 7-day event count + sum over event time — rangeBetween on
+    epoch seconds, the frame shape ROWS frames can't express when events are
+    irregular. The operator's decimal-sum keeps the arithmetic associative,
+    so Spark and DuckDB agree bit-exactly."""
+    from video_features_spark.operators.windows import rolling_range_agg
+
     ev = _read(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("timestamp").cast("double"))
-        .rangeBetween(-7 * 86400, 0)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.count(F.lit(1)).over(w).alias("n_7d"),
-        # decimal accumulation = associative/exact; cast to double AFTER the
-        # sum so both engines transport the identical float64
-        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_7d"),
-    )
+    return rolling_range_agg(
+        ev, ["user_id"], "ts", 7 * 86400, "value", aggs=("count", "sum"), suffix="7d"
+    ).select("event_id", "user_id", "ts", "n_7d", "sum_7d")
 
 
 def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated quantiles per group (A3 breadth): p50/p95 of
-    lineitem quantity — Spark `percentile` and DuckDB `quantile_cont` share
-    the same interpolation definition."""
+    """Exact interpolated quantiles per group (A3 breadth) via the library
+    operator: p50/p95 of lineitem quantity — Spark `percentile` and DuckDB
+    `quantile_cont` share the same interpolation definition."""
+    from video_features_spark.operators.windows import percentile_agg
+
     li = _read(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
-        F.expr("percentile(l_quantity, 0.95)").alias("p95_qty"),
-        F.count(F.lit(1)).alias("n_rows"),
+    return percentile_agg(
+        li, ["l_returnflag"], "l_quantity",
+        percentiles=(0.5, 0.95), names=("p50_qty", "p95_qty"),
     )
 
 
@@ -777,8 +770,11 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     satisfies the join requirement, so the plan carries NO Exchange (asserted
     in-query under a disabled broadcast threshold; the values are layout-
     independent, so the oracle is the plain SQL join). At 100 TB this is the
-    amortize-one-shuffle-at-write-time pattern for the feature store."""
+    amortize-one-shuffle-at-write-time pattern for the feature store.
+    Catalog tables and /tmp data are dropped before returning (the small
+    aggregate is materialized first)."""
     import os
+    import shutil
 
     from video_features_spark.sources.bucketed import read_bucketed, write_bucketed
 
@@ -811,12 +807,21 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         plan = out._jdf.queryExecution().executedPlan().toString()
         if "Exchange" in plan:
             raise AssertionError("bucketed join planned an Exchange — co-location broken")
+        # materialize the (small) aggregate off the bucketed scans so the
+        # catalog tables and /tmp dirs can be cleaned up before returning —
+        # repeated driver runs must leave no residue
+        rows = out.collect()
     finally:
         if prior is None:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
-    return out
+    from video_features_spark.sources.bucketed import drop_table
+
+    drop_table(spark, f"vfs_ev_{tag}")
+    drop_table(spark, f"vfs_feat_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
 
 
 def _q_audio_logmel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -136,14 +136,18 @@ def decode_qjpg(data: bytes) -> np.ndarray:
 
 
 def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    """``png`` → real PNG; ``jpeg``/``jpg`` → real baseline JPEG (pure numpy,
+    functions/jpeg.py); ``qjpg`` → the deterministic stand-in, opt-in by its
+    own token only — both JPEG spellings must produce actual JPEG bytes, never
+    silently-incompatible fake payloads."""
     if fmt == "png":
         return encode_png(arr)
-    if fmt in ("jpeg", "qjpg"):
-        return encode_qjpg(arr)
-    if fmt == "jpg":  # real baseline JPEG (pure numpy, functions/jpeg.py)
+    if fmt in ("jpeg", "jpg"):
         from .jpeg import encode_jpeg
 
         return encode_jpeg(arr, quality=97)
+    if fmt == "qjpg":
+        return encode_qjpg(arr)
     raise ValueError(f"unsupported fmt {fmt!r}")
 
 

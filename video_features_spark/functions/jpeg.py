@@ -213,6 +213,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c : 3 + 2 * c]
                 scan_sel.append({"cs": cs, "dc": tables >> 4, "ac": tables & 0xF})
+            if frame is not None and ns < len(frame["comps"]):
+                # legal under SOF0 (one SOS per component) but this decoder
+                # handles only the interleaved single-scan layout — fail with
+                # the same clear-hint style as the progressive case instead of
+                # a KeyError deep inside the MCU loop
+                raise ValueError(
+                    f"non-interleaved baseline JPEG scans unsupported "
+                    f"({ns} of {len(frame['comps'])} components in first SOS)"
+                )
             scan_start = pos + seglen
             return _decode_scan(
                 data, scan_start, frame, scan_sel, qt, huff, restart_interval

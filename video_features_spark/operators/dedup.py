@@ -195,6 +195,12 @@ def jaccard_on_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # candidate pairs sharing ZERO shingles vanish from the inner join above;
+    # re-anchor on the full pair list so they come back as jaccard = 0.0 —
+    # with the threshold=0.0 default the output must cover every input pair
+    inter = pairs.join(inter, ["id_a", "id_b"], "left").withColumn(
+        "inter", F.coalesce(F.col("inter"), F.lit(0))
+    )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
     return (

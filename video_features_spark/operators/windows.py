@@ -210,6 +210,73 @@ def sliding_stacks(
     )
 
 
+def rolling_range_agg(
+    df: DataFrame,
+    entity_cols: Sequence[str],
+    ts_col: str,
+    range_seconds: float,
+    value_col: str,
+    aggs: Sequence[str] = ("count", "sum"),
+    suffix: str | None = None,
+) -> DataFrame:
+    """Per-entity rolling aggregates over a TIME-RANGE frame
+    ``[ts - range_seconds, ts]`` — the frame shape ROWS frames cannot express
+    when events are irregular (a "rolling 7-day count" must follow event time,
+    not row position). One window spec ⇒ one shuffle for every aggregate.
+
+    ``sum`` accumulates in decimal(18,6) and casts to double AFTER the sum:
+    decimal addition is associative/exact, so the result is bit-identical
+    across partitionings and engines (float summation order is not).
+
+    Output columns: ``n_{suffix}`` for count, ``{agg}_{suffix}`` otherwise
+    (suffix defaults to ``{range_seconds}s``).
+    """
+    w = (
+        Window.partitionBy(*entity_cols)
+        .orderBy(_epoch_seconds(F.col(ts_col)))
+        .rangeBetween(-int(range_seconds), 0)
+    )
+    sfx = suffix or f"{int(range_seconds)}s"
+    exprs = {
+        "count": lambda: F.count(F.lit(1)).over(w),
+        # .over() binds to the aggregate itself; the double cast comes after
+        "sum": lambda: F.sum(F.col(value_col).cast("decimal(18,6)")).over(w).cast("double"),
+        "avg": lambda: F.avg(value_col).over(w),
+        "min": lambda: F.min(value_col).over(w),
+        "max": lambda: F.max(value_col).over(w),
+    }
+    out = df
+    for a in aggs:
+        if a not in exprs:
+            raise ValueError(f"agg must be one of {sorted(exprs)}, got {a!r}")
+        name = f"n_{sfx}" if a == "count" else f"{a}_{sfx}"
+        out = out.withColumn(name, exprs[a]())
+    return out
+
+
+def percentile_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    percentiles: Sequence[float] = (0.5, 0.95),
+    names: Sequence[str] | None = None,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Exact interpolated quantiles per group (A3 breadth): Spark
+    ``percentile`` shares DuckDB ``quantile_cont``'s interpolation definition,
+    so the result is oracle-checkable. Exact percentiles need the full sorted
+    group (one shuffle); at 100 TB prefer ``approx_percentile`` unless the
+    audit needs exactness — this operator IS the audit path.
+    """
+    if names is None:
+        names = [f"p{int(p * 100)}_{value_col}" for p in percentiles]
+    aggs = [
+        F.expr(f"percentile({value_col}, {p})").alias(n)
+        for p, n in zip(percentiles, names)
+    ]
+    return df.groupBy(*group_cols).agg(*aggs, F.count(F.lit(1)).alias(count_col))
+
+
 def tumbling_window_agg(
     df: DataFrame,
     entity_cols: Sequence[str],

@@ -79,7 +79,11 @@ def _row(seed: int, rid: int, n_entities: int, caption_null_rate: float) -> tupl
     pix = _base_pattern(base, h, w).astype(np.int16)
     noise = rng.integers(-3, 4, size=pix.shape, dtype=np.int16)
     pix = np.clip(pix + noise, 0, 255).astype(np.uint8)
-    fmt = "png" if rng.random() < 0.8 else "jpeg"
+    # lossy rows use the deterministic QJPG stand-in (labeled honestly as
+    # "qjpg" — "jpeg"/"jpg" now always mean real JPEG bytes in encode_image;
+    # a Python Huffman loop in the 400k-image bench hot path would measure
+    # the codec, not the engine)
+    fmt = "png" if rng.random() < 0.8 else "qjpg"
     data = encode_image(pix, fmt)
     ph = average_hash(pix)
     if rng.random() < caption_null_rate:

@@ -139,10 +139,19 @@ def stream_asof_lookup(
     (non-time window functions are unsupported), so this uses a stream-static
     LEFT join whose condition carries the temporal predicate (key equality AND
     ``build_ts < probe_ts``; unmatched probes keep one null row — the batch
-    left-outer contract), then ``max(struct(ts, payload))`` per probe: latest
-    ``right_ts`` wins, payload fields break exact-ts ties deterministically
-    (the same duplicate-ts contract as the batch strategies). State is bounded
-    by the watermark on probe time.
+    left-outer contract), then ``max(struct(ts, tiebreak, payload))`` per
+    probe: latest ``right_ts`` wins, and exact-ts ties break by the SAME
+    ``xxhash64(payload)`` the batch strategies use (``_build_tiebreak``), so
+    batch and streaming pick the same winner on duplicate-(key, ts) build
+    rows. The groupBy keys on EVERY probe column, so distinct probe rows never
+    merge — but FULLY-identical duplicate probe rows collapse to one output
+    row, unlike the batch operator which preserves them. A synthetic uid
+    cannot fix this on a stream (Spark rejects
+    ``monotonically_increasing_id``/nondeterministic ids on streaming
+    DataFrames): if duplicate probes must survive, carry a unique probe id
+    column from the source (an event id, a Kafka offset) — any such column
+    rides the groupBy automatically. State is bounded by the watermark on
+    probe time.
 
     Cost note: the pre-aggregation join fans out probe×earlier-builds-per-key
     before the max collapses it — fine when per-key build history is bounded
@@ -169,8 +178,14 @@ def stream_asof_lookup(
     )
     joined = p.join(b, cond, "left")
     probe_cols = [c for c in probes.columns if c not in on and c != left_ts]
+    # same tiebreak hash as operators.asof._build_tiebreak: struct field order
+    # makes max() compare (ts, hash) before any payload field
+    tb = F.xxhash64(
+        F.struct(*[F.col(f"__b.{c}") for c in right_cols], F.col(f"__b.{right_ts}"))
+    )
     payload = F.struct(
         F.col(f"__b.{right_ts}").alias(asof_ts),
+        tb.alias("__tb"),
         *[F.col(f"__b.{c}").alias(c) for c in right_cols],
     )
     agg = joined.groupBy(
