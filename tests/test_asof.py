@@ -160,3 +160,46 @@ def test_asof_duplicate_build_ts_deterministic(spark, strategy):
     assert base == run(build, other)
     # every probe matched something (ts > build ts for all)
     assert all(p is not None for _, _, p in base)
+
+
+# ~50% of rows land on entity 0 — the hot-key shape salting exists for
+_skewed_entity = st.sampled_from([0, 0, 0, 0, 0, 1, 2, 3, 4])
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    probes=st.lists(st.tuples(_skewed_entity, st.integers(0, 20)), min_size=1, max_size=30),
+    builds=st.lists(
+        st.tuples(_skewed_entity, st.integers(0, 20), st.integers(0, 4)),
+        min_size=0, max_size=30,
+    ),
+    strict=st.booleans(),
+)
+def test_asof_salted_strategies_agree_on_adversarial_skew(spark, probes, builds, strict):
+    """Round-3 gate for the payload-hash tiebreak (asof.py): on tables where
+    one key holds ~half the rows AND build rows duplicate (key, ts) with
+    DIFFERENT payloads, the salted window path, the unsalted window path, and
+    the merge path must produce identical rows — salting and the cogrouped
+    merge must not change which duplicate wins."""
+    probe = spark.createDataFrame(
+        [(e, ts, i) for i, (e, ts) in enumerate(probes)], "e long, ts long, pid long"
+    ).select("e", F.timestamp_seconds("ts").alias("ts"), "pid")
+    build = spark.createDataFrame(
+        [(e, ts, f"p{v}") for e, ts, v in builds] or [],
+        "e long, fts long, payload string",
+    ).select("e", F.timestamp_seconds("fts").alias("fts"), "payload")
+
+    def run(strategy, salt):
+        res = asof_join(
+            probe, build, on=["e"], left_ts="ts", right_ts="fts",
+            strict=strict, strategy=strategy,
+            salt_threshold=salt, num_salts=4,
+        )
+        return sorted(
+            (r["pid"], r["payload"], r["fts_asof"]) for r in res.collect()
+        )
+
+    unsalted = run("window", None)
+    assert unsalted == run("window", 1)   # every key over threshold -> salted
+    assert unsalted == run("merge", None)
+    assert unsalted == run("merge", 1)

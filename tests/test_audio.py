@@ -187,3 +187,59 @@ def test_wav_roundtrip_property(seed, n, ch, sr):
     pcm = rng.integers(-32768, 32767, (n, ch), dtype=np.int16)
     x, sr2 = decode_wav(encode_wav(pcm if ch > 1 else pcm[:, 0], sr))
     assert sr2 == sr and x.shape == (n, ch) and (x == pcm).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(1, 4000),
+    ch=st.integers(1, 2),
+    sr=st.sampled_from([8000, 16000, 44100]),
+)
+def test_mp4_pcm_roundtrip_property(seed, n, ch, sr):
+    """Container seam (S5 completion): mp4-wrapped PCM16 demuxes bit-exactly
+    through the same demux_audio seam as WAV."""
+    from video_features_spark.functions.wav import demux_audio, encode_mp4_pcm
+
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-32768, 32767, (n, ch), dtype=np.int16)
+    data = encode_mp4_pcm(pcm if ch > 1 else pcm[:, 0], sr)
+    assert data[4:8] == b"ftyp"
+    x, sr2 = demux_audio(data)
+    assert sr2 == sr and x.shape == (n, ch) and (x == pcm).all()
+
+
+def test_mp4_compressed_codec_raises_with_adapter_hint():
+    from video_features_spark.functions.wav import demux_audio, encode_mp4_pcm
+
+    data = bytearray(encode_mp4_pcm(np.zeros(100, np.int16)))
+    i = data.find(b"sowt")
+    data[i : i + 4] = b"mp4a"  # pretend the track is AAC
+    with pytest.raises(ValueError, match="ffmpeg mapInPandas adapter"):
+        demux_audio(bytes(data))
+    with pytest.raises(ValueError, match="unknown audio container"):
+        demux_audio(b"\x00" * 32)
+
+
+def test_container_wrapped_audio_end_to_end(spark):
+    """One clip wrapped in mp4 must flow through extract_audio_features and
+    produce embeddings bit-identical to the same PCM wrapped as WAV."""
+    from video_features_spark.functions.wav import encode_mp4_pcm, encode_wav
+    from video_features_spark.operators.audio import extract_audio_features
+
+    rng = np.random.default_rng(3)
+    pcm = (np.sin(2 * np.pi * 440 * np.arange(32000) / 16000) * 12000).astype(np.int16)
+    pcm = np.stack([pcm, (pcm * 0.7).astype(np.int16)], axis=1)
+    rows = [
+        ("wav", bytearray(encode_wav(pcm, 16000))),
+        ("mp4", bytearray(encode_mp4_pcm(pcm, 16000))),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, audio binary")
+    out = extract_audio_features(df, id_cols=("clip_id",)).collect()
+    by = {}
+    for r in out:
+        assert r["error"] is None
+        by.setdefault(r["clip_id"], {})[r["example_idx"]] = np.array(r["embedding"], np.float32)
+    assert set(by) == {"wav", "mp4"} and len(by["wav"]) == len(by["mp4"]) == 2
+    for k in by["wav"]:
+        assert (by["wav"][k] == by["mp4"][k]).all()

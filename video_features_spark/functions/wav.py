@@ -71,6 +71,137 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return x.reshape(-1, ch), sr
 
 
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _mp4_boxes(data: bytes, pos: int, end: int):
+    """Yield (type, body_start, body_end) for the ISO-BMFF boxes in
+    data[pos:end]; handles 64-bit largesize and size-0 (to end of file)."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("corrupt MP4: bad box size")
+        yield tag, body, pos + size
+        pos += size
+
+
+def _mp4_find(data: bytes, pos: int, end: int, tag: bytes):
+    """Depth-first search for the first box of ``tag`` under [pos, end)."""
+    for t, b, e in _mp4_boxes(data, pos, end):
+        if t == tag:
+            return b, e
+        if t in _MP4_CONTAINERS:
+            hit = _mp4_find(data, b, e, tag)
+            if hit is not None:
+                return hit
+    return None
+
+
+def demux_mp4_pcm(data: bytes) -> tuple[np.ndarray, int]:
+    """Minimal ISO-BMFF (mp4/mov) audio demux for the trivial-but-real case:
+    one uncompressed PCM16 track ('sowt' little-endian / 'twos' big-endian
+    sample entry) in one contiguous mdat — the Spark-side seam for the
+    reference's extract-audio-from-mp4 step
+    (``/root/reference/utils/utils.py:194-223``, which shells out to ffmpeg
+    twice: mp4→aac→wav). Compressed codecs ('mp4a' AAC etc.) raise with the
+    adapter recipe: decode via an ffmpeg-subprocess ``mapInPandas`` stage that
+    rewraps to WAV bytes upstream of this seam — same per-row quarantine
+    contract, no engine change (this container ships no ffmpeg, so that stage
+    stays documented rather than imported)."""
+    stsd = _mp4_find(data, 0, len(data), b"stsd")
+    if stsd is None:
+        raise ValueError("corrupt MP4: no stsd sample description")
+    b, e = stsd
+    (entry_count,) = struct.unpack(">I", data[b + 4 : b + 8])
+    if entry_count < 1:
+        raise ValueError("corrupt MP4: empty stsd")
+    # first sample entry box: [size][format] + AudioSampleEntry fields
+    fmt = data[b + 12 : b + 16]
+    if fmt not in (b"sowt", b"twos"):
+        raise ValueError(
+            f"unsupported MP4 audio codec {fmt!r}: only raw PCM16 (sowt/twos) "
+            "demuxes here; for compressed tracks run an ffmpeg mapInPandas "
+            "adapter that rewraps to WAV upstream (see demux_mp4_pcm docstring)"
+        )
+        # AudioSampleEntry: 6 reserved + data_ref(2) + ver(2) + rev(2) +
+        # vendor(4) + channels(2) + samplesize(2) + comp(2) + pkt(2) + sr(16.16)
+    off = b + 16
+    ch, samplesize = struct.unpack(">HH", data[off + 16 : off + 20])
+    (sr_fixed,) = struct.unpack(">I", data[off + 24 : off + 28])
+    sr = sr_fixed >> 16
+    if samplesize != 16 or ch < 1 or sr < 1:
+        raise ValueError(f"unsupported MP4 PCM layout (bits={samplesize}, ch={ch}, sr={sr})")
+    mdat = _mp4_find(data, 0, len(data), b"mdat")
+    if mdat is None:
+        raise ValueError("corrupt MP4: no mdat")
+    payload = data[mdat[0] : mdat[1]]
+    dt = "<i2" if fmt == b"sowt" else ">i2"
+    n = len(payload) // (2 * ch) * (2 * ch)
+    x = np.frombuffer(payload[:n], dtype=dt).astype("<i2")
+    return x.reshape(-1, ch), sr
+
+
+def encode_mp4_pcm(samples: np.ndarray, sample_rate: int = SAMPLE_RATE) -> bytes:
+    """int16 PCM (n,) or (n, ch) → minimal valid mp4 (ftyp+moov+mdat, 'sowt'
+    sample entry, real stts/stsz/stco tables) — the test-side twin of
+    ``demux_mp4_pcm`` so the container path is exercised end-to-end without
+    ffmpeg."""
+    x = np.asarray(samples, dtype="<i2")
+    if x.ndim == 1:
+        x = x[:, None]
+    n, ch = x.shape
+    frame_bytes = 2 * ch
+
+    def box(tag: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    entry = box(
+        b"sowt",
+        b"\x00" * 6 + struct.pack(">H", 1)  # reserved + data_ref_index
+        + struct.pack(">HHI", 0, 0, 0)  # version, revision, vendor
+        + struct.pack(">HHHH", ch, 16, 0, 0)  # channels, bits, comp, packet
+        + struct.pack(">I", sample_rate << 16),  # 16.16 fixed
+    )
+    stsd = box(b"stsd", struct.pack(">II", 0, 1) + entry)
+    stts = box(b"stts", struct.pack(">IIII", 0, 1, n, 1))
+    stsc = box(b"stsc", struct.pack(">IIIII", 0, 1, 1, n, 1))
+    stsz = box(b"stsz", struct.pack(">III", 0, frame_bytes, n))
+    mdhd = box(b"mdhd", struct.pack(">IIIIIHH", 0, 0, 0, sample_rate, n, 0x55C4, 0))
+    hdlr = box(b"hdlr", struct.pack(">II", 0, 0) + b"soun" + b"\x00" * 13)
+
+    def moov_with(offset: int) -> bytes:
+        stco = box(b"stco", struct.pack(">III", 0, 1, offset))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", mdia)
+        return box(b"moov", trak)
+
+    # stco is fixed-size, so one rebuild pins the real mdat payload offset
+    probe = moov_with(0)
+    moov = moov_with(len(ftyp) + len(probe) + 8)
+    return ftyp + moov + box(b"mdat", x.tobytes())
+
+
+def demux_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Container dispatch for the ``audio`` binary column: RIFF/WAVE →
+    ``decode_wav``; ISO-BMFF (ftyp) → ``demux_mp4_pcm``. One seam, sniffed by
+    magic — the audio twin of ``codec.decode_image``'s format sniffing."""
+    if data[:4] == b"RIFF":
+        return decode_wav(data)
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return demux_mp4_pcm(data)
+    raise ValueError("unknown audio container: not RIFF/WAVE or ISO-BMFF")
+
+
 def mono_mixdown(x: np.ndarray) -> np.ndarray:
     """(n, ch) int16 → (n,) float32 in [-1, 1]: channel mean then scale —
     the reference's ``np.mean(data, axis=1)`` mixdown (vggish_input.py:53-54)."""

@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..functions.wav import decode_wav, logmel_examples, mono_mixdown
+from ..functions.wav import demux_audio, logmel_examples, mono_mixdown
 
 _AUDIO_DIM = 128
 _EX_FRAMES = 96
@@ -64,7 +64,8 @@ def extract_audio_features(
     id_cols: Sequence[str] = ("clip_id", "entity_id", "ts"),
     audio_col: str = "audio",
 ) -> DataFrame:
-    """(id cols, audio WAV bytes) → one row per 0.96 s example:
+    """(id cols, audio bytes — RIFF/WAVE or mp4-wrapped PCM16, sniffed by
+    magic via ``wav.demux_audio``) → one row per 0.96 s example:
     (id cols, example_idx, embedding array<float>, error string).
 
     Clips too short for a full example emit a single quarantine-style row
@@ -81,7 +82,7 @@ def extract_audio_features(
             for i in range(len(b)):
                 ids = tuple(b[c].iloc[i] for c in id_cols)
                 try:
-                    pcm, sr = decode_wav(bytes(b[audio_col].iloc[i]))
+                    pcm, sr = demux_audio(bytes(b[audio_col].iloc[i]))
                     mono = mono_mixdown(pcm)
                     ex = logmel_examples(mono, sr)
                     if not len(ex):
