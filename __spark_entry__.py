@@ -691,6 +691,39 @@ def _q_image_pair_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_image_pair_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-input model head over consecutive-frame pairs (the reference's
+    RAFT flow architecture: model(img_t, img_t+1) in ONE forward,
+    raft_src/raft.py:118-177) — the J1 pairing feeding a pair encoder from
+    the embed registry. Mixed-size pairs are legal (both frames preprocess
+    first), so every pair embeds: exact count invariant + unit-norm gate."""
+    from video_features_spark.operators.temporal_features import consecutive_pair_embeddings
+
+    n = min(_n_images(sf_dir), 500)
+    n_ent = max(n // 50, 1)
+    imgs = generate_images(spark, n, n_entities=n_ent)
+    out = consecutive_pair_embeddings(imgs).select(
+        "entity_id",
+        "ts",
+        "next_ts",
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x).alias("emb_sq_norm"),
+        "error",
+    )
+    _assert_count(out, n - n_ent, "T frames per entity yield T-1 pair embeddings")
+    _assert_empty(
+        out,
+        F.col("error").isNull()
+        & ((F.col("emb_sq_norm") > 1.0 + 1e-4) | (F.col("emb_sq_norm") < 1.0 - 1e-4)),
+        "pair embeddings are L2-normalized",
+    )
+    _assert_empty(
+        out,
+        F.col("error").isNotNull() & F.col("emb_sq_norm").isNotNull(),
+        "quarantined pairs carry null embeddings",
+    )
+    return out
+
+
 def _q_image_stack_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-stack mean-pooled clip embeddings (S3D/A1 pattern)."""
     from video_features_spark.operators.temporal_features import stack_mean_pool
@@ -967,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_caption_sim": _q_image_caption_sim,
         "image_phash_sessions": _q_image_phash_sessions,
         "image_pair_motion": _q_image_pair_motion,
+        "image_pair_flow": _q_image_pair_flow,
         "image_stack_pool": _q_image_stack_pool,
         "image_zero_shot": _q_image_zero_shot,
         "caption_bpe": _q_caption_bpe,

@@ -118,3 +118,30 @@ def test_pair_features_partition_strategy_matches_window(spark, images):
         consecutive_pair_features(images.repartition(3), strategy="partition", partitions=5).collect()
     )
     assert win == part3
+
+
+def test_pair_embeddings_deterministic_and_pair_sensitive(spark):
+    """Two-input pair encoder (RAFT shape): bit-identical across
+    partitionings, one row per consecutive pair, order-sensitive (swapping
+    the frames changes the embedding — the diff block sees direction)."""
+    import numpy as np
+
+    from video_features_spark.functions.embed import preprocess_and_embed_pairs
+    from video_features_spark.operators.temporal_features import consecutive_pair_embeddings
+    from video_features_spark.sources.datagen import generate_images
+
+    imgs = generate_images(spark, 30, n_entities=3).cache()
+    a = {(r["entity_id"], r["ts"]): np.array(r["embedding"], np.float32)
+         for r in consecutive_pair_embeddings(imgs).collect()}
+    b = {(r["entity_id"], r["ts"]): np.array(r["embedding"], np.float32)
+         for r in consecutive_pair_embeddings(imgs.repartition(7)).collect()}
+    assert len(a) == 30 - 3 and set(a) == set(b)
+    assert all((a[k] == b[k]).all() for k in a)
+    assert all(abs(np.linalg.norm(v) - 1.0) < 1e-4 for v in a.values())
+    # direction sensitivity on raw kernels
+    rng = np.random.default_rng(5)
+    f1 = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    f2 = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)  # mixed sizes legal
+    fwd = preprocess_and_embed_pairs([f1], [f2])
+    rev = preprocess_and_embed_pairs([f2], [f1])
+    assert not np.allclose(fwd, rev)

@@ -216,6 +216,81 @@ def preprocess_and_embed(
 
 
 # ---------------------------------------------------------------------------
+# Two-input pair encoder (RAFT-shape: model(frame_t, frame_t+1) → vector)
+# ---------------------------------------------------------------------------
+
+# two-frame models by name — the reference's flow family takes BOTH frames in
+# one forward (``/root/reference/models/raft/raft_src/raft.py:118-177``:
+# fnet([image1, image2]) then correlation of the two feature maps). The
+# deterministic stand-in mirrors that architecture shape: per-frame features,
+# plus their difference (the motion signal correlation exists to expose),
+# through one seeded projection.
+PAIR_MODEL_REGISTRY: dict[str, ModelSpec] = {
+    s.name: s
+    for s in [
+        ModelSpec("raft-small-det", dim=128, input_size=32),
+        ModelSpec("raft-det", dim=128, input_size=224),
+    ]
+}
+
+_PAIR_CACHE: dict[tuple, tuple[ModelSpec, np.ndarray]] = {}
+
+
+def get_pair_model(name: str, precision: str = "fp32") -> tuple[ModelSpec, np.ndarray]:
+    """Resolve a two-input model by name (same registry/cache/precision
+    contract as ``get_model``; weights (dim, 3·_FEAT_IN) project the
+    [feat_a, feat_b, feat_b − feat_a] blocks)."""
+    if precision not in ("fp32", "fp16"):
+        raise ValueError(f"precision must be fp32|fp16, got {precision!r}")
+    key = (name, precision)
+    if key not in _PAIR_CACHE:
+        if name not in PAIR_MODEL_REGISTRY:
+            raise KeyError(f"unknown pair model {name!r}; registry: {sorted(PAIR_MODEL_REGISTRY)}")
+        spec = PAIR_MODEL_REGISTRY[name]
+        rng = np.random.default_rng(spec.seed ^ 0x5A17)
+        w = rng.standard_normal((spec.dim, 3 * _FEAT_IN)).astype(np.float32) / np.sqrt(3 * _FEAT_IN)
+        if precision == "fp16":
+            w = w.astype(np.float16).astype(np.float32)
+        _PAIR_CACHE[key] = (spec, w)
+    return _PAIR_CACHE[key]
+
+
+def preprocess_and_embed_pairs(
+    frames_a: list[np.ndarray],
+    frames_b: list[np.ndarray],
+    model_name: str = "raft-small-det",
+    precision: str = "fp32",
+) -> np.ndarray:
+    """Two aligned frame lists → B×D L2-normalized per-PAIR embeddings (the
+    J1→flow-model path: consumes ``consecutive_pair_features``' pairing).
+    Unlike the single-frame encoders, frames of DIFFERENT sizes are legal in a
+    pair — both go through the same resize+crop chain first, exactly how the
+    reference normalizes before its two-frame forward. Per-row independent
+    (fixed-tile matmul) ⇒ bit-identical under any batching/partitioning."""
+    from .preprocess import _tiled_matmul, clip_preprocess_batch
+
+    if len(frames_a) != len(frames_b):
+        raise ValueError(f"pair lists differ: {len(frames_a)} vs {len(frames_b)}")
+    spec, w = get_pair_model(model_name, precision)
+    s = spec.input_size
+
+    def _feats(images: list[np.ndarray]) -> np.ndarray:
+        out = np.empty((len(images), s, s, 3), np.float32)
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, im in enumerate(images):
+            groups.setdefault(im.shape[:2], []).append(i)
+        for idxs in groups.values():
+            out[idxs] = clip_preprocess_batch(np.stack([images[i] for i in idxs]), s)
+        return _pool(out)
+
+    fa, fb = _feats(frames_a), _feats(frames_b)
+    x = np.concatenate([fa, fb, fb - fa], axis=1)
+    emb = np.tanh(_tiled_matmul(np.ascontiguousarray(x), w.T))
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    return (emb / np.maximum(norms, 1e-12)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
 # Caption-side encoder (CLIP text-tower analog)
 # ---------------------------------------------------------------------------
 

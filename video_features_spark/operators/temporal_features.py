@@ -161,6 +161,66 @@ def _pair_features_partition(df, entity_col, ts_col, bytes_col, fmt_col, partiti
     return arranged.mapInPandas(run, schema=out_schema)
 
 
+def consecutive_pair_embeddings(
+    df: DataFrame,
+    model_name: str = "raft-small-det",
+    entity_col: str = "entity_id",
+    ts_col: str = "ts",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    precision: str = "fp32",
+) -> DataFrame:
+    """Pair every image with its entity's next image and run the TWO-INPUT
+    model head over each pair — the reference's flow-model architecture
+    (``/root/reference/models/raft/raft_src/raft.py:118-177``:
+    ``model(img_t, img_t+1)`` in one forward) behind the same embed registry
+    as the single-frame encoders. The pairing is the J1 lead window
+    ``consecutive_pair_features`` uses; the decode+forward is one Arrow pass.
+    Mixed-size pairs are legal (both frames resize through the model's
+    preprocess first). Decode failures quarantine per-row (S10 contract).
+    Output: (entity, ts, next_ts, embedding array<float>, error string)."""
+    from ..functions.embed import preprocess_and_embed_pairs
+
+    w = Window.partitionBy(entity_col).orderBy(ts_col)
+    paired = (
+        df.select(entity_col, ts_col, bytes_col, fmt_col)
+        .withColumn("__nb", F.lead(bytes_col).over(w))
+        .withColumn("__nf", F.lead(fmt_col).over(w))
+        .withColumn("__nts", F.lead(ts_col).over(w))
+        .filter(F.col("__nb").isNotNull())
+    )
+    id_schema = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in (entity_col, ts_col)
+    )
+    out_schema = f"{id_schema}, next_ts timestamp, embedding array<float>, error string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            fa, fb, ok, err = [], [], [], []
+            for i in range(len(b)):
+                try:
+                    fa.append(decode_image(bytes(b[bytes_col].iloc[i]), b[fmt_col].iloc[i]))
+                    fb.append(decode_image(bytes(b["__nb"].iloc[i]), b["__nf"].iloc[i]))
+                    ok.append(i)
+                    err.append(None)
+                except Exception as e:  # noqa: BLE001 - quarantine
+                    if len(fa) > len(fb):
+                        fa.pop()
+                    err.append(f"{type(e).__name__}: {e}")
+            embs: list = [None] * len(b)
+            if ok:
+                vecs = preprocess_and_embed_pairs(fa, fb, model_name, precision)
+                for j, i in enumerate(ok):
+                    embs[i] = vecs[j].tolist()
+            out = b[[entity_col, ts_col]].copy()
+            out["next_ts"] = b["__nts"].values
+            out["embedding"] = embs
+            out["error"] = err
+            yield out
+
+    return paired.mapInPandas(run, schema=out_schema)
+
+
 def stack_mean_pool(
     df: DataFrame,
     entity_col: str = "entity_id",
