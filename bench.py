@@ -141,7 +141,8 @@ def main() -> None:
     # artifact shipped "queries": {} because a mid-ranked retry consumed the
     # slack. Scaling/hw phases may not spend into this reserve; only the
     # query phase itself (and the post-query retries) may.
-    query_reserve = int(os.environ.get("BENCH_QUERY_RESERVE_SEC", "210"))
+    # measured: the query phase takes ~100 s at sf0.1 (27 queries + startup)
+    query_reserve = int(os.environ.get("BENCH_QUERY_RESERVE_SEC", "160"))
     _timed("prepare_headline", prepare_data, N_IMAGES)
     _timed("prepare_scale", prepare_data, SCALE_IMAGES)
     _timed("prepare_warm", prepare_data, 2000)
@@ -187,15 +188,19 @@ def main() -> None:
         qres = _timed("queries", run_worker, CPUS, 0, queries_only=True)
     # ALL retries rank BELOW the query phase: they fire only on degraded
     # captures and must not starve the per-query timings out of the budget.
-    # Every retry keeps the BETTER of the two captures (_better).
+    # Every retry keeps the BETTER of the two captures (_better). A retry on
+    # a degraded host can itself take 3+ min (the r03 capture: 202 s for a
+    # worse number), so each requires real headroom — the final JSON printing
+    # within the driver's outer timeout beats one more degraded measurement.
     # 4x the cores delivering LESS absolute throughput than 1x is physically
     # nonsensical for a compute-bound kernel — a slowdown window hit one side.
-    if lo_s and hi_s and hi_s["images_per_sec"] < lo_s["images_per_sec"] and in_budget():
+    retry_room = 150
+    if lo_s and hi_s and hi_s["images_per_sec"] < lo_s["images_per_sec"] and in_budget(retry_room):
         hi_s = _better(
             hi_s, _timed("scale_hi_retry", run_worker, CPUS, SCALE_IMAGES, model=SCALE_MODEL)
         )
         time.sleep(settle)
-    if hw_lo and hw_hi and hw_hi["images_per_sec"] < hw_lo["images_per_sec"] and in_budget():
+    if hw_lo and hw_hi and hw_hi["images_per_sec"] < hw_lo["images_per_sec"] and in_budget(retry_room):
         hw_hi = _better(
             hw_hi,
             _timed("hw_hi_retry", run_worker, CPUS, SCALE_IMAGES, hw=True, model=SCALE_MODEL),
@@ -213,7 +218,7 @@ def main() -> None:
             else None
         )
         bar_missed = eff0 < 0.8 and (hweff0 is None or eff0 / hweff0 < 0.95)
-        if bar_missed and in_budget():
+        if bar_missed and in_budget(retry_room * 2):
             lo2 = _timed("scale_lo_retry", run_worker, CORES_LO, SCALE_IMAGES, model=SCALE_MODEL)
             time.sleep(settle)
             hi2 = (
