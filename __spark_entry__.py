@@ -1152,6 +1152,14 @@ def _sql_str(s: str | None) -> str:
     return "NULL" if s is None else "'" + s.replace("'", "''") + "'"
 
 
+def _dlit(v: float | None) -> str:
+    """Bit-exact DOUBLE literal: scientific notation with 18 significant
+    digits. A bare decimal literal (repr) parses as DECIMAL in DuckDB and the
+    decimal→double conversion is not correctly-rounded strtod — it lands 1
+    ulp off on ~1/3 of values; E-notation parses directly as DOUBLE."""
+    return "NULL" if v is None else format(v, ".17e")
+
+
 def _image_phash_sessions_oracle() -> str:
     """DuckDB twin of image_phash_sessions: the (image_id, phash, ts) inputs
     are regenerated in pure Python (same seeded generator the Spark query
@@ -1202,7 +1210,7 @@ def _image_pair_motion_oracle() -> str:
                 pa = decode_image(bytes(a[3]), a[6])
                 pb = decode_image(bytes(b[3]), b[6])
                 m, c = _pair_metrics(pa, pb)
-                out.append((ent, a[2], b[2], repr(m), repr(c), None))
+                out.append((ent, a[2], b[2], _dlit(m), _dlit(c), None))
             except Exception as e:  # noqa: BLE001 — same quarantine contract
                 out.append((ent, a[2], b[2], "NULL", "NULL", f"{type(e).__name__}: {e}"))
     values = ", ".join(
@@ -1217,6 +1225,387 @@ def _image_pair_motion_oracle() -> str:
         FROM (VALUES {values})
           AS t(entity_id, ts, next_ts, mean_abs_motion, changed_frac, error)
     """
+
+
+def _seq_fold_sq(v) -> float:
+    """Replicates ``F.aggregate(emb, 0.0D, a + x*x)`` over an array<float>
+    column: the product is computed in FLOAT32 (Spark float*float stays
+    float), accumulation is sequential in float64 — verified bit-exact
+    against Spark on random vectors."""
+    import numpy as np
+
+    prods = np.asarray(v, dtype=np.float32) * np.asarray(v, dtype=np.float32)
+    acc = 0.0
+    for p in prods:
+        acc += float(p)
+    return acc
+
+
+def _seq_fold_dot(a, b) -> float:
+    """Replicates ``F.aggregate(zip_with(a, b, x*y), 0.0D, acc + x)`` —
+    float32 products, sequential float64 fold."""
+    import numpy as np
+
+    prods = np.asarray(a, dtype=np.float32) * np.asarray(b, dtype=np.float32)
+    acc = 0.0
+    for p in prods:
+        acc += float(p)
+    return acc
+
+
+def _regen_embeddings(
+    n: int, n_entities: int, model: str = "clip-small-det",
+    precision: str = "fp32", augment_seed: int | None = None,
+):
+    """Decode + (augment) + embed the regenerated image rows with the SAME
+    kernels the Spark UDF runs (codec/preprocess/embed are per-row
+    batch-invariant by contract, so one big batch here is bit-identical to
+    the executors' Arrow batches). Returns float32 (n, dim) aligned with
+    ``_regen_image_rows`` order. BIT-EXACTNESS REQUIRES single-threaded BLAS
+    (see ``_oracle_payload``): PySpark pins its Python workers to
+    OMP_NUM_THREADS = spark.task.cpus (1), and OpenBLAS rounding varies with
+    thread count — call this only from a BLAS-1 process."""
+    import zlib
+
+    import numpy as np
+
+    from video_features_spark.functions.codec import decode_image
+    from video_features_spark.functions.embed import preprocess_and_embed
+    from video_features_spark.functions.preprocess import augment_deterministic
+
+    if not hasattr(_regen_embeddings, "_memo"):
+        _regen_embeddings._memo = {}
+    key = (n, n_entities, model, precision, augment_seed)
+    if key not in _regen_embeddings._memo:
+        rows = _regen_image_rows(n, n_entities)
+        imgs = []
+        for r in rows:
+            img = decode_image(bytes(r[3]), r[6])
+            if augment_seed is not None:
+                # same per-row key construction as extract_image_features
+                img = augment_deterministic(
+                    img, zlib.crc32(str(r[0]).encode()) ^ augment_seed
+                )
+            imgs.append(img)
+        _regen_embeddings._memo[key] = np.asarray(
+            preprocess_and_embed(imgs, model, None, precision), dtype=np.float32
+        )
+    return _regen_embeddings._memo[key]
+
+
+def _regen_oracle_payload() -> dict:
+    """Everything the embedding-bearing oracles need, computed with the SAME
+    kernels the executors run. MUST execute under single-threaded BLAS:
+    ``_oracle_payload`` spawns this in a pinned child process unless the
+    current process is already pinned (VFS_BLAS1=1)."""
+    import bisect
+
+    import numpy as np
+
+    from video_features_spark.functions.codec import decode_image
+    from video_features_spark.functions.embed import (
+        embed_captions,
+        preprocess_and_embed_pairs,
+    )
+    from video_features_spark.functions.wav import demux_audio, logmel_examples, mono_mixdown
+    from video_features_spark.operators.audio import embed_examples
+    from video_features_spark.sources.datagen import SEED, _audio_row, _label_row
+
+    n = _oracle_n_images()
+    n_ent = max(n // 50, 1)
+    rows = _regen_image_rows(n, n_ent)
+    embs = _regen_embeddings(n, n_ent)
+    payload: dict = {}
+
+    # flagship: strict as-of of regenerated labels vs per-entity feature ts
+    feats: dict[str, list] = {}
+    for r, e in zip(rows, embs):
+        feats.setdefault(r[1], []).append((r[2], _seq_fold_sq(e)))
+    for v in feats.values():
+        v.sort(key=lambda t: t[0])
+    flag = []
+    for rid in range(n // 2):
+        ent, lts, label = _label_row(SEED, rid, n_ent, 50)
+        fl = feats.get(ent, [])
+        i = bisect.bisect_left([t for t, _ in fl], lts)  # strict: ts < lts
+        if i:
+            flag.append((ent, str(lts), label, str(fl[i - 1][0]), fl[i - 1][1]))
+        else:
+            flag.append((ent, str(lts), label, None, None))
+    payload["flagship"] = flag
+
+    # caption sim: logit = float32(100 · fold-dot(img, txt))
+    caps = embed_captions([r[7] for r in rows], "clip-small-det")
+    payload["caption_sim"] = [
+        (r[0], float(np.float32(100.0 * _seq_fold_dot(e, c))))
+        for r, e, c in zip(rows, embs, caps)
+    ]
+
+    # pair flow: per-entity lead pairing through the pair encoder
+    np_ = min(n, 500)
+    np_ent = max(np_ // 50, 1)
+    prow = _regen_image_rows(np_, np_ent)
+    by_entity: dict[str, list] = {}
+    for r in prow:
+        by_entity.setdefault(r[1], []).append(r)
+    pairs, fa, fb = [], [], []
+    for ent in sorted(by_entity):
+        seq = sorted(by_entity[ent], key=lambda r: r[2])
+        for a, b in zip(seq, seq[1:]):
+            pairs.append((ent, str(a[2]), str(b[2])))
+            fa.append(decode_image(bytes(a[3]), a[6]))
+            fb.append(decode_image(bytes(b[3]), b[6]))
+    vecs = preprocess_and_embed_pairs(fa, fb)
+    payload["pair_flow"] = [
+        (*p, _seq_fold_sq(v)) for p, v in zip(pairs, vecs)
+    ]
+
+    # stack pool: identical ts-sorted float32 stacking + mean as the operator
+    by_e2: dict[str, list] = {}
+    for r, e in zip(rows, embs):
+        by_e2.setdefault(r[1], []).append((r[2], e))
+    stacks = []
+    for ent in sorted(by_e2):
+        seq = sorted(by_e2[ent], key=lambda t: t[0])
+        arr = np.array([e for _, e in seq], dtype=np.float32)
+        for start in range(0, len(seq) - 8 + 1, 4):
+            pooled = arr[start : start + 8].mean(axis=0).astype(np.float32)
+            stacks.append((ent, start, str(seq[start + 8 - 1][0]), _seq_fold_sq(pooled)))
+    payload["stack_pool"] = stacks
+
+    # audio: regenerate clips, demux → mixdown → log-mel → embed
+    na = max(n // 5, 20)
+    na_ent = max(na // 20, 1)
+    audio = []
+    for rid in range(na):
+        clip_id, ent, _ts, blob, _sr, _ch, _ns = _audio_row(SEED, rid, na_ent)
+        pcm, sr2 = demux_audio(bytes(blob))
+        ex = logmel_examples(mono_mixdown(pcm), sr2)
+        for j, v in enumerate(embed_examples(ex)):
+            audio.append((clip_id, ent, j, _seq_fold_sq(v)))
+    payload["audio"] = audio
+
+    # augmented fp16 composition
+    nf = min(n, 500)
+    nf_ent = max(nf // 50, 1)
+    frows = _regen_image_rows(nf, nf_ent)
+    fembs = _regen_embeddings(nf, nf_ent, precision="fp16", augment_seed=11)
+    payload["augmented_fp16"] = [
+        (r[0], _seq_fold_sq(e)) for r, e in zip(frows, fembs)
+    ]
+    return payload
+
+
+def _oracle_payload() -> dict:
+    """Runs ``_regen_oracle_payload`` under single-threaded BLAS. OpenBLAS
+    GEMM rounding depends on its thread count, and PySpark pins Python
+    workers to OMP_NUM_THREADS=1 (spark.task.cpus) — so bit-exact replication
+    of UDF outputs requires a BLAS-1 process. Thread pools can't be resized
+    after numpy loads (no threadpoolctl in this container), so compute in a
+    pinned child process and cache the pickle."""
+    import os
+    import pickle
+    import subprocess
+    import sys
+    import tempfile
+
+    if getattr(_oracle_payload, "_memo", None) is not None:
+        return _oracle_payload._memo
+    if os.environ.get("VFS_BLAS1") == "1":
+        _oracle_payload._memo = _regen_oracle_payload()
+        return _oracle_payload._memo
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as tf:
+        out_path = tf.name
+    code = (
+        "import sys, pickle; sys.path.insert(0, sys.argv[1]); "
+        "import __spark_entry__ as e; "
+        "pickle.dump(e._regen_oracle_payload(), open(sys.argv[2], 'wb'))"
+    )
+    env = {
+        **os.environ,
+        "VFS_BLAS1": "1",
+        "OMP_NUM_THREADS": "1",
+        "OPENBLAS_NUM_THREADS": "1",
+        "MKL_NUM_THREADS": "1",
+    }
+    proc = subprocess.run(
+        [sys.executable, "-c", code, repo, out_path],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"oracle payload child failed: {proc.stderr[-1500:]}")
+    with open(out_path, "rb") as f:
+        _oracle_payload._memo = pickle.load(f)
+    os.unlink(out_path)
+    return _oracle_payload._memo
+
+
+def _image_flagship_oracle() -> str:
+    """DuckDB twin of the FLAGSHIP query: regenerate images + labels (both
+    pure functions of (seed, rid)), embed with the operator's own kernels
+    under BLAS-1 (see ``_oracle_payload``), replay the strict as-of in Python
+    (per-entity feature ts are unique and sorted), and bake
+    (entity_id, label_ts, label, ts_asof, emb_sq_norm) as a VALUES table.
+    emb_sq_norm uses the verified float32-product/float64-fold replica of the
+    query's aggregate expression."""
+    values = ", ".join(
+        "('%s', TIMESTAMP '%s', %s, %s, %s)"
+        % (e, lts, _dlit(label),
+           "NULL" if tsa is None else f"TIMESTAMP '{tsa}'",
+           _dlit(sq))
+        for e, lts, label, tsa, sq in _oracle_payload()["flagship"]
+    )
+    return f"""
+        SELECT entity_id, label_ts, label::DOUBLE AS label,
+               ts_asof::TIMESTAMP AS ts_asof, emb_sq_norm::DOUBLE AS emb_sq_norm
+        FROM (VALUES {values}) AS t(entity_id, label_ts, label, ts_asof, emb_sq_norm)
+    """
+
+
+def _image_caption_sim_oracle() -> str:
+    """DuckDB twin of image_caption_sim: image + caption towers re-run with
+    the operators' own kernels (BLAS-1 child); logit = float32(100 · fold
+    dot) exactly as the JVM expression computes it."""
+    values = ", ".join(
+        f"('{iid}', {_dlit(sim)})" for iid, sim in _oracle_payload()["caption_sim"]
+    )
+    return f"""
+        SELECT image_id, img_txt_sim::FLOAT AS img_txt_sim
+        FROM (VALUES {values}) AS t(image_id, img_txt_sim)
+    """
+
+
+def _image_pair_flow_oracle() -> str:
+    """DuckDB twin of image_pair_flow: replay the per-entity lead pairing and
+    run the pair encoder's own kernel (BLAS-1 child), baking
+    (entity_id, ts, next_ts, emb_sq_norm, error)."""
+    values = ", ".join(
+        f"('{ent}', TIMESTAMP '{ts}', TIMESTAMP '{nts}', {_dlit(sq)})"
+        for ent, ts, nts, sq in _oracle_payload()["pair_flow"]
+    )
+    return f"""
+        SELECT entity_id, ts, next_ts,
+               emb_sq_norm::DOUBLE AS emb_sq_norm, NULL::VARCHAR AS error
+        FROM (VALUES {values}) AS t(entity_id, ts, next_ts, emb_sq_norm)
+    """
+
+
+def _image_stack_pool_oracle() -> str:
+    """DuckDB twin of image_stack_pool: same per-entity ts-sorted stacking and
+    float32 mean the grouped-map operator computes (identical numpy call,
+    BLAS-1 child), then the sq-norm fold over the pooled vector."""
+    values = ", ".join(
+        f"('{ent}', {start}, TIMESTAMP '{ts}', {_dlit(sq)})"
+        for ent, start, ts, sq in _oracle_payload()["stack_pool"]
+    )
+    return f"""
+        SELECT entity_id, stack_start_idx::INT AS stack_start_idx,
+               stack_ts, stack_sq_norm::DOUBLE AS stack_sq_norm
+        FROM (VALUES {values}) AS t(entity_id, stack_start_idx, stack_ts, stack_sq_norm)
+    """
+
+
+def _audio_logmel_oracle() -> str:
+    """DuckDB twin of audio_logmel: regenerate the clips (pure function of
+    (seed, rid)), run the operator's own demux→mixdown→log-mel→embed kernels
+    (BLAS-1 child), and bake one row per example."""
+    values = ", ".join(
+        f"('{cid}', '{ent}', {j}, {_dlit(sq)})"
+        for cid, ent, j, sq in _oracle_payload()["audio"]
+    )
+    return f"""
+        SELECT clip_id, entity_id, example_idx::INT AS example_idx,
+               emb_sq_norm::DOUBLE AS emb_sq_norm
+        FROM (VALUES {values}) AS t(clip_id, entity_id, example_idx, emb_sq_norm)
+    """
+
+
+def _image_augmented_fp16_oracle() -> str:
+    """DuckDB twin of image_augmented_fp16: the P12+P20 composition re-run
+    with the same augment keying and fp16-quantized weights (BLAS-1 child)."""
+    values = ", ".join(
+        f"('{iid}', {_dlit(sq)})" for iid, sq in _oracle_payload()["augmented_fp16"]
+    )
+    return f"""
+        SELECT image_id, emb_sq_norm::DOUBLE AS emb_sq_norm
+        FROM (VALUES {values}) AS t(image_id, emb_sq_norm)
+    """
+
+
+def _caption_bpe_oracle() -> str:
+    """DuckDB twin of caption_bpe: tokenize the regenerated captions with the
+    same BPE module; the digest replays Spark's xxhash64 over the
+    comma-joined id string via the verified pure-Python XXH64."""
+    from video_features_spark.functions.bpe import tokenize
+
+    n = _oracle_n_images()
+    rows = _regen_image_rows(n, max(n // 50, 1))
+    ids = tokenize([r[7] for r in rows])
+    values = ", ".join(
+        "('%s', %d, %d)"
+        % (
+            r[0],
+            sum(1 for t in toks if t != 0),
+            _xxhash64_bytes(",".join(str(t) for t in toks).encode("utf-8")),
+        )
+        for r, toks in zip(rows, ids)
+    )
+    return f"""
+        SELECT image_id, n_tokens::INT AS n_tokens,
+               token_digest::BIGINT AS token_digest
+        FROM (VALUES {values}) AS t(image_id, n_tokens, token_digest)
+    """
+
+
+def _xxhash64_bytes(data: bytes, seed: int = 42) -> int:
+    """Full XXH64 over a byte string (published algorithm; Spark's
+    ``xxhash64`` on a STRING column hashes its UTF-8 bytes with seed 42) —
+    verified bit-exact against Spark across lengths 0..100 incl. multibyte."""
+    import struct
+
+    m = (1 << 64) - 1
+    p1, p2, p3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    p4, p5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & m
+
+    def rnd(acc: int, inp: int) -> int:
+        acc = (acc + inp * p2) & m
+        return (rotl(acc, 31) * p1) & m
+
+    n, i = len(data), 0
+    if n >= 32:
+        v1, v2 = (seed + p1 + p2) & m, (seed + p2) & m
+        v3, v4 = seed & m, (seed - p1) & m
+        while i + 32 <= n:
+            v1 = rnd(v1, struct.unpack_from("<Q", data, i)[0])
+            v2 = rnd(v2, struct.unpack_from("<Q", data, i + 8)[0])
+            v3 = rnd(v3, struct.unpack_from("<Q", data, i + 16)[0])
+            v4 = rnd(v4, struct.unpack_from("<Q", data, i + 24)[0])
+            i += 32
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & m
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ rnd(0, v)) * p1 + p4) & m
+    else:
+        h = (seed + p5) & m
+    h = (h + n) & m
+    while i + 8 <= n:
+        h = (rotl(h ^ rnd(0, struct.unpack_from("<Q", data, i)[0]), 27) * p1 + p4) & m
+        i += 8
+    if i + 4 <= n:
+        h = (rotl(h ^ ((struct.unpack_from("<I", data, i)[0] * p1) & m), 23) * p2 + p3) & m
+        i += 4
+    while i < n:
+        h = (rotl(h ^ ((data[i] * p5) & m), 11) * p1) & m
+        i += 1
+    h ^= h >> 33
+    h = (h * p2) & m
+    h ^= h >> 29
+    h = (h * p3) & m
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
 
 
 def _xxhash64_long(v: int, seed: int = 42) -> int:
@@ -1620,6 +2009,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ann_ivf_oracle(),
         "image_phash_sessions": _image_phash_sessions_oracle(),
         "image_pair_motion": _image_pair_motion_oracle(),
+        "image_flagship": _image_flagship_oracle(),
+        "image_caption_sim": _image_caption_sim_oracle(),
+        "image_pair_flow": _image_pair_flow_oracle(),
+        "image_stack_pool": _image_stack_pool_oracle(),
+        "audio_logmel": _audio_logmel_oracle(),
+        "image_augmented_fp16": _image_augmented_fp16_oracle(),
+        "caption_bpe": _caption_bpe_oracle(),
         "cosine_topk": """
             WITH base AS (
               SELECT vec_id, embedding,

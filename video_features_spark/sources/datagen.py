@@ -123,6 +123,24 @@ def generate_images(
     )
 
 
+def _label_row(seed: int, rid: int, n_entities: int, images_per_entity: int = 50) -> tuple:
+    """One label probe as a pure function of (seed, rid) — module-level so the
+    driver oracles can regenerate probes outside Spark (same contract as
+    ``_row``)."""
+    span = images_per_entity * 600
+    rng = np.random.default_rng((seed << 35) ^ (rid + 7))
+    entity = int(rng.integers(0, int(n_entities * 1.05)))  # ~5% absent entities
+    u = rng.random()
+    if u < 0.05:
+        secs = -int(rng.integers(1, 3600))  # before first feature
+    elif u < 0.15:
+        # exactly on a feature timestamp bucket boundary (tie probe)
+        secs = int(rng.integers(0, images_per_entity)) * 600
+    else:
+        secs = int(rng.integers(0, span + 3600))
+    return (f"e{entity:05d}", _EPOCH + pd.Timedelta(seconds=secs), float(rng.random()))
+
+
 def generate_labels(
     spark: SparkSession,
     n_rows: int,
@@ -136,26 +154,13 @@ def generate_labels(
     strict `<` (leakage-free) tie semantics are pinned by data (FIXTURES.md §2)."""
     n_entities = n_entities or max(n_rows // 50, 1)
     images_per_entity = images_per_entity or 50
-    span = images_per_entity * 600
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out = []
-            for rid in b["id"]:
-                rng = np.random.default_rng((seed << 35) ^ (int(rid) + 7))
-                entity = int(rng.integers(0, int(n_entities * 1.05)))  # ~5% absent entities
-                u = rng.random()
-                if u < 0.05:
-                    secs = -int(rng.integers(1, 3600))  # before first feature
-                elif u < 0.15:
-                    # exactly on a feature timestamp bucket boundary (tie probe)
-                    secs = int(rng.integers(0, images_per_entity)) * 600
-                else:
-                    secs = int(rng.integers(0, span + 3600))
-                out.append(
-                    (f"e{entity:05d}", _EPOCH + pd.Timedelta(seconds=secs), float(rng.random()))
-                )
-            yield pd.DataFrame(out, columns=["entity_id", "label_ts", "label"])
+            yield pd.DataFrame(
+                [_label_row(seed, int(rid), n_entities, images_per_entity) for rid in b["id"]],
+                columns=["entity_id", "label_ts", "label"],
+            )
 
     return spark.range(n_rows, numPartitions=partitions or spark.sparkContext.defaultParallelism).mapInPandas(
         gen, schema=LABELS_SCHEMA
@@ -181,37 +186,40 @@ def generate_audio(
     mixdown. Same pure-function-of-(seed, row_id) contract as the image
     generator; ``n_samples`` rides along so invariants can compute the exact
     expected log-mel example count without decoding."""
-    from ..functions.wav import encode_wav
-
     n_entities = n_entities or max(n_rows // 20, 1)
     partitions = partitions or spark.sparkContext.defaultParallelism
-
-    def _clip(rid: int) -> tuple:
-        rng = np.random.default_rng((seed << 36) ^ (rid + 13))
-        entity = rid % n_entities
-        seq = rid // n_entities
-        ts = _EPOCH + pd.Timedelta(seconds=seq * 600 + int(rng.integers(0, 300)))
-        n = int(rng.integers(sample_rate, 3 * sample_rate))
-        t = np.arange(n, dtype=np.float64) / sample_rate
-        wave = np.zeros(n)
-        for _ in range(int(rng.integers(2, 4))):
-            f = float(rng.uniform(100, 4000))
-            wave += rng.uniform(0.1, 0.4) * np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28))
-        wave += rng.normal(0, 0.01, n)
-        pcm = np.clip(wave * 12000, -32768, 32767).astype(np.int16)
-        ch = 2 if rng.random() < 0.3 else 1
-        if ch == 2:
-            pcm = np.stack([pcm, np.clip(pcm * 0.8, -32768, 32767).astype(np.int16)], axis=1)
-        return (
-            f"clip{rid:08d}", f"e{entity:05d}", ts,
-            bytearray(encode_wav(pcm, sample_rate)), sample_rate, ch, n,
-        )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             yield pd.DataFrame(
-                [_clip(int(rid)) for rid in b["id"]],
+                [_audio_row(seed, int(rid), n_entities, sample_rate) for rid in b["id"]],
                 columns=["clip_id", "entity_id", "ts", "audio", "sr", "n_channels", "n_samples"],
             )
 
     return spark.range(n_rows, numPartitions=partitions).mapInPandas(gen, schema=AUDIO_SCHEMA)
+
+
+def _audio_row(seed: int, rid: int, n_entities: int, sample_rate: int = 16000) -> tuple:
+    """One audio clip as a pure function of (seed, rid) — module-level so the
+    driver oracles can regenerate clips outside Spark."""
+    from ..functions.wav import encode_wav
+
+    rng = np.random.default_rng((seed << 36) ^ (rid + 13))
+    entity = rid % n_entities
+    seq = rid // n_entities
+    ts = _EPOCH + pd.Timedelta(seconds=seq * 600 + int(rng.integers(0, 300)))
+    n = int(rng.integers(sample_rate, 3 * sample_rate))
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    wave = np.zeros(n)
+    for _ in range(int(rng.integers(2, 4))):
+        f = float(rng.uniform(100, 4000))
+        wave += rng.uniform(0.1, 0.4) * np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28))
+    wave += rng.normal(0, 0.01, n)
+    pcm = np.clip(wave * 12000, -32768, 32767).astype(np.int16)
+    ch = 2 if rng.random() < 0.3 else 1
+    if ch == 2:
+        pcm = np.stack([pcm, np.clip(pcm * 0.8, -32768, 32767).astype(np.int16)], axis=1)
+    return (
+        f"clip{rid:08d}", f"e{entity:05d}", ts,
+        bytearray(encode_wav(pcm, sample_rate)), sample_rate, ch, n,
+    )
