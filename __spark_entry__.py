@@ -748,22 +748,24 @@ def _q_image_stack_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_image_zero_shot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CLIP-style zero-shot classification (J2 cross-join + W6 top-k)."""
+    """CLIP-style zero-shot classification (J2 cross-join + W6 top-k). The
+    driver output carries the LOGIT, not the softmax prob: logits are exact
+    JVM double folds the oracle replays bit-for-bit, while exp() differs by
+    ulps between the JVM's and numpy's libm — the softmax bounds stay
+    asserted in-plan and gated in pytest."""
     from video_features_spark.operators.temporal_features import zero_shot_classify
 
     n = min(_n_images(sf_dir), 500)
     imgs = generate_images(spark, n, n_entities=max(n // 50, 1))
     feats = extract_image_features(imgs, "clip-small-det")
-    out = zero_shot_classify(
-        feats, ["a photo of a cat", "a landscape", "a vehicle", "food"], top_k=3
-    ).select("image_id", "class_id", "rank", "prob")
-    _assert_count(out, n * 3, "exactly top_k rows per image")
+    full = zero_shot_classify(feats, list(_ZS_CAPTIONS), top_k=3)
+    _assert_count(full, n * 3, "exactly top_k rows per image")
     _assert_empty(
-        out,
+        full,
         (F.col("prob") <= 0) | (F.col("prob") > 1) | (F.col("rank") < 1) | (F.col("rank") > 3),
         "probs in (0, 1], rank in 1..top_k",
     )
-    return out
+    return full.select("image_id", "class_id", "rank", "logit")
 
 
 def _q_image_phash_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1393,6 +1395,43 @@ def _regen_oracle_payload() -> dict:
     payload["augmented_fp16"] = [
         (r[0], _seq_fold_sq(e)) for r, e in zip(frows, fembs)
     ]
+
+    # phash-keyed salted as-of (north rule verbatim): replay the strict as-of
+    # with the payload-hash duplicate-(key, ts) tiebreak — salting never
+    # changes answers (hypothesis-gated), so the unsalted replay is the truth
+    import pandas as pd
+
+    feats_ph: dict[int, list] = {}
+    for r, e in zip(rows, embs):
+        micros = int(pd.Timestamp(r[2]).value // 1000)
+        feats_ph.setdefault(r[8], []).append(
+            (r[2], _asof_tiebreak_hash(e, micros), _seq_fold_sq(e))
+        )
+    for v in feats_ph.values():
+        v.sort(key=lambda t: (t[0], t[1]))
+    pa = []
+    for r in rows:
+        lts = r[2] + pd.Timedelta(minutes=5)
+        fl = feats_ph[r[8]]
+        i = bisect.bisect_left([t[0] for t in fl], lts)
+        if i:
+            # (ts, hash) sort ⇒ fl[i-1] is max ts < lts, then max hash: the
+            # same winner both asof strategies pick
+            ts_asof, _, sq = fl[i - 1]
+            pa.append((r[0], r[8], str(lts), str(ts_asof), sq))
+        else:
+            pa.append((r[0], r[8], str(lts), None, None))
+    payload["phash_asof"] = pa
+
+    # zero-shot: ship the image embeddings; the class-caption embeddings are
+    # computed PARENT-side at oracle-build time (the Spark query embeds them
+    # driver-side in the same harness process — same-process BLAS parity,
+    # like the IVF fit)
+    nz = min(n, 500)
+    nz_ent = max(nz // 50, 1)
+    zrows = _regen_image_rows(nz, nz_ent)
+    zembs = _regen_embeddings(nz, nz_ent)
+    payload["zero_shot_embs"] = [(r[0], e.tolist()) for r, e in zip(zrows, zembs)]
     return payload
 
 
@@ -1521,6 +1560,56 @@ def _audio_logmel_oracle() -> str:
     """
 
 
+def _image_phash_asof_oracle() -> str:
+    """DuckDB twin of image_phash_asof (the north-rule query verbatim): the
+    strict phash-keyed as-of with the payload-hash tiebreak, replayed in the
+    BLAS-1 child using ``_asof_tiebreak_hash`` — a bit-exact replica of
+    ``asof._build_tiebreak``'s ``xxhash64(struct(embedding, ts))`` (chained
+    XXH64 lanes over float bits + epoch micros, verified against Spark)."""
+    values = ", ".join(
+        "('%s', %d, TIMESTAMP '%s', %s, %s)"
+        % (iid, ph, lts,
+           "NULL" if tsa is None else f"TIMESTAMP '{tsa}'",
+           _dlit(sq))
+        for iid, ph, lts, tsa, sq in _oracle_payload()["phash_asof"]
+    )
+    return f"""
+        SELECT image_id, phash::BIGINT AS phash, label_ts,
+               ts_asof::TIMESTAMP AS ts_asof, emb_sq_norm::DOUBLE AS emb_sq_norm
+        FROM (VALUES {values}) AS t(image_id, phash, label_ts, ts_asof, emb_sq_norm)
+    """
+
+
+_ZS_CAPTIONS = ("a photo of a cat", "a landscape", "a vehicle", "food")
+
+
+def _image_zero_shot_oracle() -> str:
+    """DuckDB twin of image_zero_shot: image embeddings from the BLAS-1
+    child; class-caption embeddings computed HERE (the Spark query embeds
+    them driver-side in this same process — same-process parity); logits are
+    the exact double fold the JVM computes. Ranks sort (logit desc,
+    class_id)."""
+    from video_features_spark.functions.embed import embed_captions
+
+    cls = embed_captions(list(_ZS_CAPTIONS), "clip-small-det")
+    out = []
+    for iid, emb in _oracle_payload()["zero_shot_embs"]:
+        logits = sorted(
+            ((100.0 * _seq_fold_dot(emb, c), ci) for ci, c in enumerate(cls)),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (lg, ci) in enumerate(logits[:3], 1):
+            out.append((iid, ci, rank, lg))
+    values = ", ".join(
+        f"('{iid}', {ci}, {rank}, {_dlit(lg)})" for iid, ci, rank, lg in out
+    )
+    return f"""
+        SELECT image_id, class_id::INT AS class_id, rank::INT AS rank,
+               logit::DOUBLE AS logit
+        FROM (VALUES {values}) AS t(image_id, class_id, rank, logit)
+    """
+
+
 def _image_augmented_fp16_oracle() -> str:
     """DuckDB twin of image_augmented_fp16: the P12+P20 composition re-run
     with the same augment keying and fp16-quantized weights (BLAS-1 child)."""
@@ -1605,6 +1694,61 @@ def _xxhash64_bytes(data: bytes, seed: int = 42) -> int:
     h ^= h >> 29
     h = (h * p3) & m
     h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _xxhash64_int(i: int, seed: int) -> int:
+    """XXH64 4-byte lane (Spark hashes IntegerType/FloatType bits this way):
+    ``hash = seed + P5 + 4; hash ^= (i & 0xFFFFFFFF) * P1; rotl(23)*P2 + P3;
+    avalanche``. Returns the UNSIGNED accumulator for chaining."""
+    m = (1 << 64) - 1
+    p1, p2, p3, p5 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5
+    h = (seed + p5 + 4) & m
+    h ^= ((i & 0xFFFFFFFF) * p1) & m
+    h = ((((h << 23) | (h >> 41)) & m) * p2 + p3) & m
+    h ^= h >> 33
+    h = (h * p2) & m
+    h ^= h >> 29
+    h = (h * p3) & m
+    h ^= h >> 32
+    return h
+
+
+def _xxhash64_long_u(v: int, seed: int) -> int:
+    """XXH64 8-byte lane with an arbitrary seed, unsigned result (the
+    chaining form of ``_xxhash64_long``)."""
+    m = (1 << 64) - 1
+    p1, p2, p3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    p4, p5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & m
+
+    v &= m
+    h = (seed + p5 + 8) & m
+    h ^= (rotl((v * p2) & m, 31) * p1) & m
+    h = (rotl(h, 27) * p1 + p4) & m
+    h ^= h >> 33
+    h = (h * p2) & m
+    h ^= h >> 29
+    h = (h * p3) & m
+    h ^= h >> 32
+    return h
+
+
+def _asof_tiebreak_hash(emb, ts_micros: int) -> int:
+    """Replicates ``operators.asof._build_tiebreak``:
+    ``F.xxhash64(struct(embedding array<float>, asof_ts timestamp))``. Spark
+    folds nested values through chained XXH64 lanes starting at seed 42 —
+    each float element hashes its IEEE bits as a 4-byte lane, the timestamp
+    hashes its epoch-micros as an 8-byte lane. Signed result."""
+    import numpy as np
+
+    h = 42
+    for f in np.asarray(emb, dtype=np.float32):
+        bits = int(np.float32(0.0 if f == 0.0 else f).view(np.int32))
+        h = _xxhash64_int(bits, h)
+    h = _xxhash64_long_u(ts_micros, h)
     return h - (1 << 64) if h >= (1 << 63) else h
 
 
@@ -2016,6 +2160,8 @@ def oracle_sql() -> dict[str, str]:
         "audio_logmel": _audio_logmel_oracle(),
         "image_augmented_fp16": _image_augmented_fp16_oracle(),
         "caption_bpe": _caption_bpe_oracle(),
+        "image_phash_asof": _image_phash_asof_oracle(),
+        "image_zero_shot": _image_zero_shot_oracle(),
         "cosine_topk": """
             WITH base AS (
               SELECT vec_id, embedding,
