@@ -271,3 +271,23 @@ def test_decode_image_dispatches_real_jpeg():
     assert data[:2] == b"\xff\xd8"
     out = decode_image(data, "jpg")
     assert out.shape == img.shape and psnr(img, out) >= 40.0
+
+
+def test_pad_to_multiple_and_unpad():
+    """P14: /8 padding splits across sides, edge-replicates, and unpads back
+    to the exact original (hypothesis-free sweep over awkward sizes)."""
+    from video_features_spark.functions.preprocess import pad_to_multiple, unpad
+
+    for h, w in [(1, 1), (7, 9), (8, 8), (97, 101), (16, 5)]:
+        img = _img(h * 131 + w, h, w)
+        padded, pads = pad_to_multiple(img, 8)
+        assert padded.shape[0] % 8 == 0 and padded.shape[1] % 8 == 0
+        assert padded.shape[0] - h == pads[0] + pads[1]
+        assert padded.shape[1] - w == pads[2] + pads[3]
+        # edge-replication: padded border rows equal the original border rows
+        assert (padded[pads[0], pads[2]:pads[2]+w] == img[0]).all()
+        assert (unpad(padded, pads) == img).all()
+    # already-aligned input is untouched (no copy semantics assumed, same values)
+    img = _img(3, 32, 64)
+    padded, pads = pad_to_multiple(img, 8)
+    assert pads == (0, 0, 0, 0) and (padded == img).all()

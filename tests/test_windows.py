@@ -128,3 +128,40 @@ def test_sliding_stacks(spark, duck, sf_dir):
         """
     ).df()
     assert_frames_match(res.toPandas(), oracle)
+
+
+def test_rolling_range_agg_operator(spark, sf_dir):
+    """Library twin of the rolling_7d driver oracle: time-RANGE frame counts
+    follow event time, and the decimal-sum path is exact."""
+    from pyspark.sql import functions as F
+
+    from video_features_spark.operators.windows import rolling_range_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = rolling_range_agg(ev, ["user_id"], "ts", 7 * 86400, "value", suffix="7d")
+    rows = out.select("user_id", "ts", "n_7d", "sum_7d").collect()
+    assert len(rows) == ev.count()
+    # brute-force check on one user
+    uid = rows[0]["user_id"]
+    hist = sorted(
+        [(r["ts"], r["value"]) for r in ev.filter(F.col("user_id") == uid).collect()]
+    )
+    for r in [x for x in rows if x["user_id"] == uid][:10]:
+        expect = [v for t, v in hist if r["ts"] - t <= __import__("datetime").timedelta(days=7) and t <= r["ts"]]
+        assert r["n_7d"] == len(expect)
+        assert abs(r["sum_7d"] - sum(expect)) < 1e-6
+
+
+def test_percentile_agg_operator(spark, sf_dir):
+    import numpy as np
+
+    from video_features_spark.operators.windows import percentile_agg
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = {r["l_returnflag"]: r for r in percentile_agg(
+        li, ["l_returnflag"], "l_quantity", percentiles=(0.5,), names=("p50",)
+    ).collect()}
+    for flag, r in out.items():
+        vals = np.array([x["l_quantity"] for x in li.filter(f"l_returnflag = '{flag}'").collect()])
+        assert r["n_rows"] == len(vals)
+        assert abs(r["p50"] - np.percentile(vals, 50, method="linear")) < 1e-9

@@ -196,6 +196,30 @@ def clip_preprocess(arr: np.ndarray, size: int = 224) -> np.ndarray:
     return normalize(a).astype(np.float32)
 
 
+def pad_to_multiple(
+    arr: np.ndarray, multiple: int = 8, mode: str = "edge"
+) -> tuple[np.ndarray, tuple[int, int, int, int]]:
+    """P14: pad H and W up to the next multiple of ``multiple`` (split across
+    both sides, edge-replicated) — the reference flow models require /8 inputs
+    and unpad afterwards (``/root/reference/models/raft/raft_src/raft.py:30-48``,
+    InputPadder). Returns (padded, (top, bottom, left, right)) so ``unpad``
+    can restore the original geometry exactly."""
+    h, w = arr.shape[:2]
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    pads = (ph // 2, ph - ph // 2, pw // 2, pw - pw // 2)
+    if ph or pw:
+        spec = [(pads[0], pads[1]), (pads[2], pads[3])] + [(0, 0)] * (arr.ndim - 2)
+        arr = np.pad(arr, spec, mode=mode)
+    return arr, pads
+
+
+def unpad(arr: np.ndarray, pads: tuple[int, int, int, int]) -> np.ndarray:
+    """Inverse of ``pad_to_multiple``: slice the padding back off."""
+    t, b, l, r = pads
+    return arr[t : arr.shape[0] - b or None, l : arr.shape[1] - r or None]
+
+
 def augment_deterministic(img: "np.ndarray", key: int) -> "np.ndarray":
     """P12 re-expressed reproducibly: horizontal flip + brightness jitter whose
     randomness is a pure function of ``key`` (e.g. crc32 of the row id). The
