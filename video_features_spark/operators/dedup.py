@@ -20,6 +20,17 @@ Scale notes
   creates an O(n²) bucket.
 - All signatures are integers; a 10^12-row dedup shuffles fixed-width columns,
   not text.
+- The shingle scan+explode is deliberately RECOMPUTED per consumer (sigs,
+  sizes, verify a-side/b-side) rather than persisted: Catalyst's aggregate
+  merging leaves no identical exchanges for ReuseExchange, and caching the
+  exploded table is a losing trade — it is ~16 bytes per text character
+  (larger than the corpus itself), while each recompute is a bandwidth-bound
+  scan + codegen'd higher-order functions. Measured at sf0.1: the persisted
+  variant is SLOWER (8.6 s vs 7.8 s warm); at 100 TB the cache would also
+  have to spill hundreds of TB. If a deployment has a cheap columnar cache
+  tier, persist the DISTINCT (id, h) output of ``shingle_table`` externally
+  (e.g. write it bucketed by id via ``sources.bucketed``) and feed the
+  downstream stages from that table instead.
 """
 
 from __future__ import annotations
