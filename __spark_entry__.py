@@ -1295,34 +1295,28 @@ def _regen_embeddings(
     return _regen_embeddings._memo[key]
 
 
-def _regen_oracle_payload() -> dict:
-    """Everything the embedding-bearing oracles need, computed with the SAME
-    kernels the executors run. MUST execute under single-threaded BLAS:
-    ``_oracle_payload`` spawns this in a pinned child process unless the
-    current process is already pinned (VFS_BLAS1=1)."""
+def _payload_section_main() -> dict:
+    """Payload sections sharing the full-size (n, n_ent) image embeddings:
+    flagship, caption_sim, stack_pool, phash_asof. BLAS-1 only."""
     import bisect
 
     import numpy as np
+    import pandas as pd
 
-    from video_features_spark.functions.codec import decode_image
-    from video_features_spark.functions.embed import (
-        embed_captions,
-        preprocess_and_embed_pairs,
-    )
-    from video_features_spark.functions.wav import demux_audio, logmel_examples, mono_mixdown
-    from video_features_spark.operators.audio import embed_examples
-    from video_features_spark.sources.datagen import SEED, _audio_row, _label_row
+    from video_features_spark.functions.embed import embed_captions
+    from video_features_spark.sources.datagen import SEED, _label_row
 
     n = _oracle_n_images()
     n_ent = max(n // 50, 1)
     rows = _regen_image_rows(n, n_ent)
     embs = _regen_embeddings(n, n_ent)
+    sqs = _seq_fold_sq_batch(embs)
     payload: dict = {}
 
     # flagship: strict as-of of regenerated labels vs per-entity feature ts
     feats: dict[str, list] = {}
-    for r, e in zip(rows, embs):
-        feats.setdefault(r[1], []).append((r[2], _seq_fold_sq(e)))
+    for r, sq in zip(rows, sqs):
+        feats.setdefault(r[1], []).append((r[2], sq))
     for v in feats.values():
         v.sort(key=lambda t: t[0])
     flag = []
@@ -1338,75 +1332,33 @@ def _regen_oracle_payload() -> dict:
 
     # caption sim: logit = float32(100 · fold-dot(img, txt))
     caps = embed_captions([r[7] for r in rows], "clip-small-det")
+    dots = _seq_fold_dot_batch(embs, caps)
     payload["caption_sim"] = [
-        (r[0], float(np.float32(100.0 * _seq_fold_dot(e, c))))
-        for r, e, c in zip(rows, embs, caps)
-    ]
-
-    # pair flow: per-entity lead pairing through the pair encoder
-    np_ = min(n, 500)
-    np_ent = max(np_ // 50, 1)
-    prow = _regen_image_rows(np_, np_ent)
-    by_entity: dict[str, list] = {}
-    for r in prow:
-        by_entity.setdefault(r[1], []).append(r)
-    pairs, fa, fb = [], [], []
-    for ent in sorted(by_entity):
-        seq = sorted(by_entity[ent], key=lambda r: r[2])
-        for a, b in zip(seq, seq[1:]):
-            pairs.append((ent, str(a[2]), str(b[2])))
-            fa.append(decode_image(bytes(a[3]), a[6]))
-            fb.append(decode_image(bytes(b[3]), b[6]))
-    vecs = preprocess_and_embed_pairs(fa, fb)
-    payload["pair_flow"] = [
-        (*p, _seq_fold_sq(v)) for p, v in zip(pairs, vecs)
+        (r[0], float(np.float32(100.0 * d))) for r, d in zip(rows, dots)
     ]
 
     # stack pool: identical ts-sorted float32 stacking + mean as the operator
     by_e2: dict[str, list] = {}
     for r, e in zip(rows, embs):
         by_e2.setdefault(r[1], []).append((r[2], e))
-    stacks = []
+    meta, pooled_all = [], []
     for ent in sorted(by_e2):
         seq = sorted(by_e2[ent], key=lambda t: t[0])
         arr = np.array([e for _, e in seq], dtype=np.float32)
         for start in range(0, len(seq) - 8 + 1, 4):
-            pooled = arr[start : start + 8].mean(axis=0).astype(np.float32)
-            stacks.append((ent, start, str(seq[start + 8 - 1][0]), _seq_fold_sq(pooled)))
-    payload["stack_pool"] = stacks
-
-    # audio: regenerate clips, demux → mixdown → log-mel → embed
-    na = max(n // 5, 20)
-    na_ent = max(na // 20, 1)
-    audio = []
-    for rid in range(na):
-        clip_id, ent, _ts, blob, _sr, _ch, _ns = _audio_row(SEED, rid, na_ent)
-        pcm, sr2 = demux_audio(bytes(blob))
-        ex = logmel_examples(mono_mixdown(pcm), sr2)
-        for j, v in enumerate(embed_examples(ex)):
-            audio.append((clip_id, ent, j, _seq_fold_sq(v)))
-    payload["audio"] = audio
-
-    # augmented fp16 composition
-    nf = min(n, 500)
-    nf_ent = max(nf // 50, 1)
-    frows = _regen_image_rows(nf, nf_ent)
-    fembs = _regen_embeddings(nf, nf_ent, precision="fp16", augment_seed=11)
-    payload["augmented_fp16"] = [
-        (r[0], _seq_fold_sq(e)) for r, e in zip(frows, fembs)
-    ]
+            pooled_all.append(arr[start : start + 8].mean(axis=0).astype(np.float32))
+            meta.append((ent, start, str(seq[start + 8 - 1][0])))
+    psqs = _seq_fold_sq_batch(np.array(pooled_all, np.float32)) if pooled_all else []
+    payload["stack_pool"] = [(*m, sq) for m, sq in zip(meta, psqs)]
 
     # phash-keyed salted as-of (north rule verbatim): replay the strict as-of
     # with the payload-hash duplicate-(key, ts) tiebreak — salting never
     # changes answers (hypothesis-gated), so the unsalted replay is the truth
-    import pandas as pd
-
+    micros = [int(pd.Timestamp(r[2]).value // 1000) for r in rows]
+    hashes = _asof_tiebreak_hash_batch(embs, micros)
     feats_ph: dict[int, list] = {}
-    for r, e in zip(rows, embs):
-        micros = int(pd.Timestamp(r[2]).value // 1000)
-        feats_ph.setdefault(r[8], []).append(
-            (r[2], _asof_tiebreak_hash(e, micros), _seq_fold_sq(e))
-        )
+    for r, hsh, sq in zip(rows, hashes, sqs):
+        feats_ph.setdefault(r[8], []).append((r[2], hsh, sq))
     for v in feats_ph.values():
         v.sort(key=lambda t: (t[0], t[1]))
     pa = []
@@ -1422,17 +1374,93 @@ def _regen_oracle_payload() -> dict:
         else:
             pa.append((r[0], r[8], str(lts), None, None))
     payload["phash_asof"] = pa
-
-    # zero-shot: ship the image embeddings; the class-caption embeddings are
-    # computed PARENT-side at oracle-build time (the Spark query embeds them
-    # driver-side in the same harness process — same-process BLAS parity,
-    # like the IVF fit)
-    nz = min(n, 500)
-    nz_ent = max(nz // 50, 1)
-    zrows = _regen_image_rows(nz, nz_ent)
-    zembs = _regen_embeddings(nz, nz_ent)
-    payload["zero_shot_embs"] = [(r[0], e.tolist()) for r, e in zip(zrows, zembs)]
     return payload
+
+
+def _payload_section_pairs() -> dict:
+    """pair_flow: per-entity lead pairing through the pair encoder."""
+    from video_features_spark.functions.codec import decode_image
+    from video_features_spark.functions.embed import preprocess_and_embed_pairs
+
+    np_ = min(_oracle_n_images(), 500)
+    np_ent = max(np_ // 50, 1)
+    prow = _regen_image_rows(np_, np_ent)
+    by_entity: dict[str, list] = {}
+    for r in prow:
+        by_entity.setdefault(r[1], []).append(r)
+    pairs, fa, fb = [], [], []
+    for ent in sorted(by_entity):
+        seq = sorted(by_entity[ent], key=lambda r: r[2])
+        for a, b in zip(seq, seq[1:]):
+            pairs.append((ent, str(a[2]), str(b[2])))
+            fa.append(decode_image(bytes(a[3]), a[6]))
+            fb.append(decode_image(bytes(b[3]), b[6]))
+    vecs = preprocess_and_embed_pairs(fa, fb)
+    vsqs = _seq_fold_sq_batch(vecs) if len(vecs) else []
+    return {"pair_flow": [(*p, sq) for p, sq in zip(pairs, vsqs)]}
+
+
+def _payload_section_audio() -> dict:
+    """audio_logmel: regenerate clips, demux → mixdown → log-mel → embed."""
+    from video_features_spark.functions.wav import demux_audio, logmel_examples, mono_mixdown
+    from video_features_spark.operators.audio import embed_examples
+    from video_features_spark.sources.datagen import SEED, _audio_row
+
+    import numpy as np
+
+    na = max(_oracle_n_images() // 5, 20)
+    na_ent = max(na // 20, 1)
+    meta, ex_all = [], []
+    for rid in range(na):
+        clip_id, ent, _ts, blob, _sr, _ch, _ns = _audio_row(SEED, rid, na_ent)
+        pcm, sr2 = demux_audio(bytes(blob))
+        ex = logmel_examples(mono_mixdown(pcm), sr2)
+        meta.extend((clip_id, ent, j) for j in range(len(ex)))
+        if len(ex):
+            ex_all.append(ex)
+    # ONE embed over all clips' examples — the fixed-tile matmul pads every
+    # call to a full 8192-row GEMM, so per-clip calls pay the whole tile
+    vecs = embed_examples(np.concatenate(ex_all)) if ex_all else []
+    sqs = _seq_fold_sq_batch(vecs) if len(vecs) else []
+    return {"audio": [(*m, sq) for m, sq in zip(meta, sqs)]}
+
+
+def _payload_section_small() -> dict:
+    """Sections over the capped (≤500) image set: augmented_fp16 and the
+    zero-shot image embeddings. The zero-shot CLASS-caption embeddings are
+    computed PARENT-side at oracle-build time (the Spark query embeds them
+    driver-side in the same harness process — same-process BLAS parity, like
+    the IVF fit)."""
+    nf = min(_oracle_n_images(), 500)
+    nf_ent = max(nf // 50, 1)
+    frows = _regen_image_rows(nf, nf_ent)
+    fembs = _regen_embeddings(nf, nf_ent, precision="fp16", augment_seed=11)
+    zembs = _regen_embeddings(nf, nf_ent)
+    fsqs = _seq_fold_sq_batch(fembs)
+    return {
+        "augmented_fp16": [(r[0], sq) for r, sq in zip(frows, fsqs)],
+        "zero_shot_embs": [(r[0], e.tolist()) for r, e in zip(frows, zembs)],
+    }
+
+
+_PAYLOAD_SECTIONS = (
+    "_payload_section_main",
+    "_payload_section_pairs",
+    "_payload_section_audio",
+    "_payload_section_small",
+)
+
+
+def _regen_oracle_payload() -> dict:
+    """Everything the embedding-bearing oracles need, computed with the SAME
+    kernels the executors run — serial fallback used when the process is
+    already BLAS-pinned (VFS_BLAS1=1); ``_oracle_payload`` otherwise runs the
+    sections in PARALLEL pinned children."""
+    payload: dict = {}
+    for name in _PAYLOAD_SECTIONS:
+        payload.update(globals()[name]())
+    return payload
+
 
 
 def _oracle_payload() -> dict:
@@ -1454,12 +1482,10 @@ def _oracle_payload() -> dict:
         _oracle_payload._memo = _regen_oracle_payload()
         return _oracle_payload._memo
     repo = os.path.dirname(os.path.abspath(__file__))
-    with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as tf:
-        out_path = tf.name
     code = (
         "import sys, pickle; sys.path.insert(0, sys.argv[1]); "
         "import __spark_entry__ as e; "
-        "pickle.dump(e._regen_oracle_payload(), open(sys.argv[2], 'wb'))"
+        "pickle.dump(getattr(e, sys.argv[3])(), open(sys.argv[2], 'wb'))"
     )
     env = {
         **os.environ,
@@ -1468,16 +1494,34 @@ def _oracle_payload() -> dict:
         "OPENBLAS_NUM_THREADS": "1",
         "MKL_NUM_THREADS": "1",
     }
-    proc = subprocess.run(
-        [sys.executable, "-c", code, repo, out_path],
-        env=env, capture_output=True, text=True, timeout=600,
-    )
-    if proc.returncode != 0:
-        raise RuntimeError(f"oracle payload child failed: {proc.stderr[-1500:]}")
-    with open(out_path, "rb") as f:
-        _oracle_payload._memo = pickle.load(f)
-    os.unlink(out_path)
-    return _oracle_payload._memo
+    # sections are independent — run them as CONCURRENT pinned children
+    # (parallelism across processes; BLAS stays single-threaded inside each),
+    # so wall time is the longest section, not the sum
+    procs = []
+    for section in _PAYLOAD_SECTIONS:
+        with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as tf:
+            out_path = tf.name
+        p = subprocess.Popen(
+            [sys.executable, "-c", code, repo, out_path, section],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        procs.append((section, p, out_path))
+    payload: dict = {}
+    for section, p, out_path in procs:
+        try:
+            _, stderr = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            raise RuntimeError(f"oracle payload section {section} timed out")
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"oracle payload section {section} failed: {stderr[-1500:]}"
+            )
+        with open(out_path, "rb") as f:
+            payload.update(pickle.load(f))
+        os.unlink(out_path)
+    _oracle_payload._memo = payload
+    return payload
 
 
 def _image_flagship_oracle() -> str:
@@ -1734,6 +1778,77 @@ def _xxhash64_long_u(v: int, seed: int) -> int:
     h = (h * p3) & m
     h ^= h >> 32
     return h
+
+
+def _seq_fold_sq_batch(embs) -> "list[float]":
+    """Row-batched ``_seq_fold_sq``: float32 products, then per-row SEQUENTIAL
+    float64 accumulation vectorized ACROSS rows (iterate positions, add one
+    column at a time) — identical per-row rounding, ~500x fewer Python ops."""
+    import numpy as np
+
+    x = np.asarray(embs, dtype=np.float32)
+    prods = (x * x).astype(np.float64)
+    acc = np.zeros(len(x), np.float64)
+    for i in range(prods.shape[1]):
+        acc += prods[:, i]
+    return acc.tolist()
+
+
+def _seq_fold_dot_batch(a, b) -> "list[float]":
+    import numpy as np
+
+    x = np.asarray(a, dtype=np.float32) * np.asarray(b, dtype=np.float32)
+    prods = x.astype(np.float64)
+    acc = np.zeros(len(prods), np.float64)
+    for i in range(prods.shape[1]):
+        acc += prods[:, i]
+    return acc.tolist()
+
+
+def _asof_tiebreak_hash_batch(embs, ts_micros) -> "list[int]":
+    """Row-batched ``_asof_tiebreak_hash``: the XXH64 lane chain is sequential
+    WITHIN a row but independent across rows — run it over uint64 numpy
+    vectors (wrapping arithmetic), one position at a time. Bit-identical to
+    the scalar version (gated by a test)."""
+    import numpy as np
+
+    p1 = np.uint64(0x9E3779B185EBCA87)
+    p2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    p3 = np.uint64(0x165667B19E3779F9)
+    p4 = np.uint64(0x85EBCA77C2B2AE63)
+    p5 = np.uint64(0x27D4EB2F165667C5)
+    u64 = np.uint64
+
+    def rotl(x, r):
+        return (x << u64(r)) | (x >> u64(64 - r))
+
+    with np.errstate(over="ignore"):
+        x = np.asarray(embs, dtype=np.float32)
+        x = np.where(x == 0.0, np.float32(0.0), x)  # -0.0 normalizes to 0.0
+        bits = x.view(np.int32).astype(np.int64) & 0xFFFFFFFF
+        h = np.full(len(x), 42, np.uint64)
+        for i in range(bits.shape[1]):
+            # int lane: h' = avalanche(rotl((seed+P5+4) ^ (i32*P1), 23)*P2+P3)
+            a = h + p5 + u64(4)
+            a = a ^ (bits[:, i].astype(np.uint64) * p1)
+            a = rotl(a, 23) * p2 + p3
+            a ^= a >> u64(33)
+            a *= p2
+            a ^= a >> u64(29)
+            a *= p3
+            a ^= a >> u64(32)
+            h = a
+        # long lane for the timestamp micros
+        v = np.asarray(ts_micros, dtype=np.uint64)
+        a = h + p5 + u64(8)
+        a = a ^ (rotl(v * p2, 31) * p1)
+        a = rotl(a, 27) * p1 + p4
+        a ^= a >> u64(33)
+        a *= p2
+        a ^= a >> u64(29)
+        a *= p3
+        a ^= a >> u64(32)
+        return a.view(np.int64).tolist()
 
 
 def _asof_tiebreak_hash(emb, ts_micros: int) -> int:

@@ -78,7 +78,14 @@ def extract_audio_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
+            # decode + frame per row, but run ONE embed over the whole Arrow
+            # batch's concatenated examples: the fixed-tile matmul pads every
+            # call to a full 8192-row GEMM, so per-clip calls (1-3 examples
+            # each) pay ~the whole tile per row — batching is ~100x cheaper
+            # and bit-identical (per-row independence is the tile's contract)
             rows = []
+            pending: list = []  # (row_in_rows, n_examples) for embed backfill
+            ex_all: list = []
             for i in range(len(b)):
                 ids = tuple(b[c].iloc[i] for c in id_cols)
                 try:
@@ -88,11 +95,19 @@ def extract_audio_features(
                     if not len(ex):
                         rows.append((*ids, None, None, "too_short"))
                         continue
-                    embs = embed_examples(ex, model_name)
-                    for j in range(len(embs)):
-                        rows.append((*ids, j, embs[j].tolist(), None))
+                    pending.append((len(rows), len(ex), ids))
+                    ex_all.append(ex)
+                    for j in range(len(ex)):
+                        rows.append((*ids, j, None, None))
                 except Exception as e:  # noqa: BLE001 - quarantine, don't die
                     rows.append((*ids, None, None, f"{type(e).__name__}: {e}"))
+            if ex_all:
+                embs = embed_examples(np.concatenate(ex_all), model_name)
+                k = 0
+                for start, n_ex, ids in pending:
+                    for j in range(n_ex):
+                        rows[start + j] = (*ids, j, embs[k].tolist(), None)
+                        k += 1
             yield pd.DataFrame(
                 rows, columns=id_cols + ["example_idx", "embedding", "error"]
             )
