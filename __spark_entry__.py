@@ -724,6 +724,35 @@ def _q_image_pair_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_image_pair_flow_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSE flow output for the RAFT analog (the reference emits a 2×H×W
+    field per pair, ``raft_src/raft.py:118-177`` — not just a pair embedding):
+    an 8×8×2 coarse motion grid per consecutive pair, digested to the pinned
+    float32-fold sq-norm scalar (driver canonicalizer can't sort arrays).
+    Shape is gated in-query: every non-quarantined pair carries exactly
+    2·8·8 = 128 flow values."""
+    from video_features_spark.operators.temporal_features import consecutive_pair_flow_fields
+
+    n = min(_n_images(sf_dir), 500)
+    n_ent = max(n // 50, 1)
+    imgs = generate_images(spark, n, n_entities=n_ent)
+    out = consecutive_pair_flow_fields(imgs, grid=8).select(
+        "entity_id",
+        "ts",
+        "next_ts",
+        F.size("flow").alias("flow_dim"),
+        F.aggregate("flow", F.lit(0.0), lambda a, x: a + x * x).alias("flow_sq_norm"),
+        "error",
+    )
+    _assert_count(out, n - n_ent, "T frames per entity yield T-1 flow fields")
+    _assert_empty(
+        out,
+        F.col("error").isNull() & (F.col("flow_dim") != 2 * 8 * 8),
+        "flow fields are dense 2x8x8 grids",
+    )
+    return out
+
+
 def _q_image_stack_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-stack mean-pooled clip embeddings (S3D/A1 pattern)."""
     from video_features_spark.operators.temporal_features import stack_mean_pool
@@ -939,6 +968,105 @@ def _q_caption_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 skip-if-done resume as a driver query (the reference's signature
+    trick, ``base_extractor.py:95-127``): phase 1 checkpoints HALF the hash
+    partitions of ``orders`` (a mid-job crash analog — only part-aligned work
+    completed and made it into the manifest), phase 2 re-runs the FULL input
+    against the same base. The resume anti-join must skip every completed
+    partition (``parts_skipped``) and compute exactly the missing ones
+    (``parts_resumed``); the read-back aggregate proves the union landed with
+    no loss or duplication. Oracle: partition membership replayed with the
+    verified pure-Python xxhash64 replica; totals are plain SQL over orders."""
+    import tempfile
+
+    from video_features_spark.sources.checkpoint import (
+        PART_COL,
+        checkpointed_write,
+        read_checkpointed,
+        with_partition_id,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="vfs_ckpt_resume_")
+    num_parts = 64
+    half = (
+        with_partition_id(orders, ["o_orderkey"], num_parts)
+        .filter(F.col(PART_COL) < num_parts // 2)
+        .drop(PART_COL)
+    )
+    checkpointed_write(half, base, ["o_orderkey"], num_parts)
+    stats = checkpointed_write(orders, base, ["o_orderkey"], num_parts)
+    return (
+        read_checkpointed(spark, base)
+        .agg(
+            F.count(F.lit(1)).alias("rows_total"),
+            F.sum("o_totalprice").alias("sum_totalprice"),
+        )
+        .select(
+            F.lit(stats["parts_total"]).alias("parts_total"),
+            F.lit(stats["parts_skipped"]).alias("parts_skipped"),
+            F.lit(stats["parts_written"]).alias("parts_resumed"),
+            "rows_total",
+            "sum_totalprice",
+        )
+    )
+
+
+def _q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 streaming parity as a driver query: the SAME point-in-time
+    enrichment as ``asof_window`` with the probe side arriving as a STREAM —
+    file source over the events parquet, ``trigger(availableNow=True)``,
+    through ``streaming.ops.stream_asof_lookup`` into a memory sink. The
+    oracle is the batch ``_ASOF_ORACLE``: stream and batch must agree
+    row-for-row (the tiebreak-parity contract the pytest suite pins,
+    ``tests/test_streaming.py``). Timestamps round-trip NTZ→TZ→NTZ because
+    watermarks require zoned timestamps (CLAUDE.md sharp edge)."""
+    import uuid
+
+    from video_features_spark.streaming.ops import stream_asof_lookup
+
+    import tempfile
+
+    # the file stream source lists a DIRECTORY; driver testdata is one file —
+    # link it into a temp dir (no data copy)
+    src_dir = tempfile.mkdtemp(prefix="vfs_stream_src_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    ev_schema = _read(spark, sf_dir, "events").schema
+    probes = (
+        spark.readStream.schema(ev_schema)
+        .parquet(src_dir)
+        .select("event_id", "user_id", "ts")
+    )
+    out = stream_asof_lookup(
+        probes,
+        _order_features(spark, sf_dir),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="o_orderdate",
+        strict=True,
+    )
+    name = f"qsa_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "feat_price",
+        F.col("o_orderdate_asof").cast("timestamp_ntz").alias("o_orderdate_asof"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: synth images → decode+embed (Arrow UDF) → strict as-of join
     against labels → leakage gate → point-in-time training rows."""
@@ -1003,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_phash_sessions": _q_image_phash_sessions,
         "image_pair_motion": _q_image_pair_motion,
         "image_pair_flow": _q_image_pair_flow,
+        "image_pair_flow_field": _q_image_pair_flow_field,
         "image_stack_pool": _q_image_stack_pool,
         "image_zero_shot": _q_image_zero_shot,
         "caption_bpe": _q_caption_bpe,
@@ -1010,6 +1139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_logmel": _q_audio_logmel,
         "image_augmented_fp16": _q_image_augmented_fp16,
         "bucketed_join": _q_bucketed_join,
+        "checkpoint_resume": _q_checkpoint_resume,
+        "stream_asof": _q_stream_asof,
     }
 
 
@@ -1378,9 +1509,13 @@ def _payload_section_main() -> dict:
 
 
 def _payload_section_pairs() -> dict:
-    """pair_flow: per-entity lead pairing through the pair encoder."""
+    """pair_flow + pair_flow_field: per-entity lead pairing through the pair
+    encoder and the dense coarse-flow kernel (same decoded frames)."""
+    import numpy as np
+
     from video_features_spark.functions.codec import decode_image
     from video_features_spark.functions.embed import preprocess_and_embed_pairs
+    from video_features_spark.functions.flow import pair_flow_field
 
     np_ = min(_oracle_n_images(), 500)
     np_ent = max(np_ // 50, 1)
@@ -1397,7 +1532,14 @@ def _payload_section_pairs() -> dict:
             fb.append(decode_image(bytes(b[3]), b[6]))
     vecs = preprocess_and_embed_pairs(fa, fb)
     vsqs = _seq_fold_sq_batch(vecs) if len(vecs) else []
-    return {"pair_flow": [(*p, sq) for p, sq in zip(pairs, vsqs)]}
+    flows = np.array(
+        [pair_flow_field(x, y, 8).ravel() for x, y in zip(fa, fb)], dtype=np.float32
+    )
+    fsqs = _seq_fold_sq_batch(flows) if len(flows) else []
+    return {
+        "pair_flow": [(*p, sq) for p, sq in zip(pairs, vsqs)],
+        "pair_flow_field": [(*p, sq) for p, sq in zip(pairs, fsqs)],
+    }
 
 
 def _payload_section_audio() -> dict:
@@ -1507,19 +1649,30 @@ def _oracle_payload() -> dict:
         )
         procs.append((section, p, out_path))
     payload: dict = {}
-    for section, p, out_path in procs:
-        try:
-            _, stderr = p.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            p.kill()
-            raise RuntimeError(f"oracle payload section {section} timed out")
-        if p.returncode != 0:
-            raise RuntimeError(
-                f"oracle payload section {section} failed: {stderr[-1500:]}"
-            )
-        with open(out_path, "rb") as f:
-            payload.update(pickle.load(f))
-        os.unlink(out_path)
+    try:
+        for section, p, out_path in procs:
+            try:
+                _, stderr = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                raise RuntimeError(f"oracle payload section {section} timed out")
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"oracle payload section {section} failed: {stderr[-1500:]}"
+                )
+            with open(out_path, "rb") as f:
+                payload.update(pickle.load(f))
+            os.unlink(out_path)
+    except BaseException:
+        # one child failing must not leave siblings running (they'd pollute
+        # later timings) or their unprocessed temp files behind
+        for _, p, out_path in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+            if os.path.exists(out_path):
+                os.unlink(out_path)
+        raise
     _oracle_payload._memo = payload
     return payload
 
@@ -1571,6 +1724,21 @@ def _image_pair_flow_oracle() -> str:
         SELECT entity_id, ts, next_ts,
                emb_sq_norm::DOUBLE AS emb_sq_norm, NULL::VARCHAR AS error
         FROM (VALUES {values}) AS t(entity_id, ts, next_ts, emb_sq_norm)
+    """
+
+
+def _image_pair_flow_field_oracle() -> str:
+    """DuckDB twin of image_pair_flow_field: same pairing, same deterministic
+    flow kernel on the regenerated frames (pure element-wise numpy — no GEMM,
+    so no BLAS sensitivity), sq-norm via the pinned float32-fold replica."""
+    values = ", ".join(
+        f"('{ent}', TIMESTAMP '{ts}', TIMESTAMP '{nts}', {_dlit(sq)})"
+        for ent, ts, nts, sq in _oracle_payload()["pair_flow_field"]
+    )
+    return f"""
+        SELECT entity_id, ts, next_ts, 128::INT AS flow_dim,
+               flow_sq_norm::DOUBLE AS flow_sq_norm, NULL::VARCHAR AS error
+        FROM (VALUES {values}) AS t(entity_id, ts, next_ts, flow_sq_norm)
     """
 
 
@@ -1688,6 +1856,29 @@ def _caption_bpe_oracle() -> str:
         SELECT image_id, n_tokens::INT AS n_tokens,
                token_digest::BIGINT AS token_digest
         FROM (VALUES {values}) AS t(image_id, n_tokens, token_digest)
+    """
+
+
+def _checkpoint_resume_oracle() -> str:
+    """DuckDB twin of checkpoint_resume: partition membership is a pure
+    function of o_orderkey through the verified ``_xxhash64_long`` replica
+    (pmod 64 touches only the low bits, where signed and unsigned agree), so
+    the skip/resume partition counts are computed here and baked as literals;
+    the row/price totals are plain SQL over orders."""
+    import pyarrow.parquet as pq
+
+    num_parts = 64
+    keys = pq.read_table(
+        os.path.join(_oracle_sf_dir(), "orders.parquet"), columns=["o_orderkey"]
+    )["o_orderkey"].to_pylist()
+    parts = {_xxhash64_long(k) % num_parts for k in keys}
+    skipped = sum(1 for p in parts if p < num_parts // 2)
+    resumed = len(parts) - skipped
+    return f"""
+        SELECT {num_parts}::INT AS parts_total, {skipped}::INT AS parts_skipped,
+               {resumed}::INT AS parts_resumed,
+               count(*) AS rows_total, sum(o_totalprice) AS sum_totalprice
+        FROM orders
     """
 
 
@@ -2076,6 +2267,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_window": _ASOF_ORACLE,
         "asof_merge": _ASOF_ORACLE,
         "asof_salted": _ASOF_ORACLE,
+        "stream_asof": _ASOF_ORACLE,
         "lag_lead": """
             SELECT event_id, user_id, ts, value,
                    lag(value) OVER w AS value_lag1,
@@ -2271,12 +2463,14 @@ def oracle_sql() -> dict[str, str]:
         "image_flagship": _image_flagship_oracle(),
         "image_caption_sim": _image_caption_sim_oracle(),
         "image_pair_flow": _image_pair_flow_oracle(),
+        "image_pair_flow_field": _image_pair_flow_field_oracle(),
         "image_stack_pool": _image_stack_pool_oracle(),
         "audio_logmel": _audio_logmel_oracle(),
         "image_augmented_fp16": _image_augmented_fp16_oracle(),
         "caption_bpe": _caption_bpe_oracle(),
         "image_phash_asof": _image_phash_asof_oracle(),
         "image_zero_shot": _image_zero_shot_oracle(),
+        "checkpoint_resume": _checkpoint_resume_oracle(),
         "cosine_topk": """
             WITH base AS (
               SELECT vec_id, embedding,

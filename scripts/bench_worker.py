@@ -113,7 +113,7 @@ def hw_ceiling_run(args) -> None:
         # warmup: fork + import + one file each (page cache, weight cache)
         pool.map(_hw_chunk, [(s[0][:1], args.model) for s in shards])
         times = []
-        for _ in range(3):
+        for _ in range(args.reps):
             t0 = time.time()
             counts = pool.map(_hw_chunk, shards)
             times.append(time.time() - t0)
@@ -179,7 +179,7 @@ def timed_run(args) -> None:
     )
 
     times = []
-    for _ in range(3):
+    for _ in range(args.reps):
         t0 = time.time()
         materialize(pipeline(imgs, labels))
         times.append(round(time.time() - t0, 3))
@@ -235,6 +235,7 @@ def main() -> None:
     ap.add_argument("--images", type=int, default=20000)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--model", default="clip-small-det")
+    ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--queries", action="store_true")
     ap.add_argument("--queries-only", action="store_true")
     ap.add_argument("--prepare", action="store_true")

@@ -110,6 +110,33 @@ def main(sf_dir: str) -> int:
     if "BroadcastNestedLoopJoin" in p or "CartesianProduct" in p:
         failures.append("blocked near-dup plans a nested-loop join")
 
+    # 10. jaccard_on_pairs auto-switch: a candidate set above the broadcast
+    #     cap plans a SHUFFLE join (no executor-memory broadcast), a small one
+    #     broadcasts. Catalyst's own size-based auto-broadcast is disabled for
+    #     the check so any BroadcastExchange left is the operator's explicit
+    #     F.broadcast.
+    from video_features_spark.operators.dedup import (
+        jaccard_on_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = shingle_table(docs, "doc_id", "text", 5)
+    cands = lsh_candidate_pairs(minhash_signatures(docs, "doc_id", "text"), "doc_id")
+    prior_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p_small = plan_of(jaccard_on_pairs(sh, cands, "doc_id"))
+        p_big = plan_of(jaccard_on_pairs(sh, cands, "doc_id", max_broadcast_pairs=0))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior_thresh)
+    if "BroadcastExchange" not in p_small:
+        failures.append("jaccard auto-switch: small candidate set not broadcast")
+    if "BroadcastExchange" in p_big:
+        failures.append("jaccard auto-switch: over-cap candidate set still broadcasts")
+
     # 9. IVF centroid sample: top-k, not a global sort
     from video_features_spark.operators.similarity import _l2  # noqa: F401
 

@@ -243,3 +243,42 @@ def test_container_wrapped_audio_end_to_end(spark):
     assert set(by) == {"wav", "mp4"} and len(by["wav"]) == len(by["mp4"]) == 2
     for k in by["wav"]:
         assert (by["wav"][k] == by["mp4"][k]).all()
+
+
+@pytest.mark.skipif(
+    not __import__("shutil").which("ffmpeg"), reason="ffmpeg not on PATH"
+)
+def test_ffmpeg_adapter_decodes_compressed(spark):
+    """S5/S2 completion gate: a COMPRESSED payload (AAC-in-mp4, encoded here
+    with ffmpeg itself) flows through extract_audio_features via the
+    demux_audio → ffmpeg_to_wav fallback — the executable form of the adapter
+    recipe the reference implements by shelling out (utils/utils.py:194-223).
+    AAC is lossy so embeddings aren't compared; the gate is that decode
+    succeeds, nothing quarantines, and the example framing matches the
+    lossless WAV twin."""
+    import subprocess
+    import tempfile
+
+    from video_features_spark.functions.wav import demux_audio, encode_wav
+    from video_features_spark.operators.audio import extract_audio_features
+
+    pcm = (np.sin(2 * np.pi * 330 * np.arange(32000) / 16000) * 12000).astype(np.int16)
+    wav = encode_wav(pcm, 16000)
+    with tempfile.NamedTemporaryFile(suffix=".m4a") as tf:
+        subprocess.run(
+            ["ffmpeg", "-v", "error", "-f", "wav", "-i", "pipe:0",
+             "-acodec", "aac", "-y", tf.name],
+            input=wav, check=True, capture_output=True, timeout=120,
+        )
+        compressed = open(tf.name, "rb").read()
+    # kernel-level: sniffed as ISO-BMFF, mp4a codec → ffmpeg fallback
+    x, sr = demux_audio(compressed)
+    assert sr == 16000 and len(x) > 0
+    rows = [("wav", bytearray(wav)), ("aac", bytearray(compressed))]
+    df = spark.createDataFrame(rows, "clip_id string, audio binary")
+    out = extract_audio_features(df, id_cols=("clip_id",)).collect()
+    by = {}
+    for r in out:
+        assert r["error"] is None
+        by.setdefault(r["clip_id"], set()).add(r["example_idx"])
+    assert set(by) == {"wav", "aac"} and by["wav"] == by["aac"]

@@ -82,3 +82,52 @@ def test_spark_operator_matches_local(spark):
     ref = tokenize(caps)
     for i, c in enumerate(caps):
         assert got[i] == ref[i], f"row {i} mismatch"
+
+
+def test_external_vocab_seam_end_to_end(spark):
+    """P19 drop-in seam: a tiny fixture merge table in the reference's file
+    format (gzip, version header line, space-separated rank-ordered pairs)
+    registers via SparkFiles+SHA256 and drives caption_bpe_tokenize end to
+    end; ids change vs the deterministic table exactly where the fixture's
+    merges apply, and a wrong digest is rejected."""
+    import gzip
+    import tempfile
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from video_features_spark.functions.bpe import (
+        current_vocab_pin,
+        register_vocab,
+        tokenize,
+        unregister_vocab,
+    )
+    from video_features_spark.operators.features import caption_bpe_tokenize
+
+    # "cat</w>" merges fully: c+a -> ca, ca+t</w> -> cat</w>
+    fixture = "#version: test-fixture\nc a\nca t</w>\n"
+    with tempfile.NamedTemporaryFile(
+        suffix=".txt.gz", delete=False, prefix="bpe_fixture_"
+    ) as tf:
+        tf.write(gzip.compress(fixture.encode()))
+        path = tf.name
+    try:
+        with pytest.raises(ValueError, match="sha256"):
+            register_vocab(spark, path, sha256="0" * 64)
+        digest = register_vocab(spark, path)
+        assert current_vocab_pin() == (path.split("/")[-1], digest)
+
+        df = spark.createDataFrame([("a photo of a cat",)], "caption string")
+        row = caption_bpe_tokenize(df).select("token_ids").first()
+        ids_spark = [t for t in row["token_ids"] if t != 0]
+        ids_local = [t for t in tokenize(
+            ["a photo of a cat"], vocab_pin=current_vocab_pin()
+        )[0] if t != 0]
+        assert ids_spark == ids_local  # executor resolves the same pinned file
+        ids_default = [t for t in tokenize(["a photo of a cat"])[0] if t != 0]
+        assert ids_spark != ids_default  # the external vocabulary took effect
+        # fixture vocab has only 2 merges -> "photo" stays byte-level (6 ids),
+        # "cat" collapses to one merged token
+        assert len(ids_spark) > len(ids_default)
+    finally:
+        unregister_vocab()

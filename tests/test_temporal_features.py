@@ -145,3 +145,33 @@ def test_pair_embeddings_deterministic_and_pair_sensitive(spark):
     fwd = preprocess_and_embed_pairs([f1], [f2])
     rev = preprocess_and_embed_pairs([f2], [f1])
     assert not np.allclose(fwd, rev)
+
+
+def test_pair_flow_field_dense_grid(spark, images):
+    """RAFT output-semantics analog: every pair emits a dense 2x8x8 motion
+    grid; identical frames yield a zero field; the kernel is deterministic
+    across calls and mixed frame sizes are legal (both downsample to the
+    grid)."""
+    from video_features_spark.functions.flow import pair_flow_field
+    from video_features_spark.operators.temporal_features import (
+        consecutive_pair_flow_fields,
+    )
+
+    res = consecutive_pair_flow_fields(images, grid=8).cache()
+    n_imgs = images.count()
+    assert res.count() == n_imgs - N_ENT
+    ok = res.filter("error is null")
+    assert ok.count() == res.count()
+    assert ok.filter(F.size("flow") != 128).count() == 0
+
+    # kernel-level invariants
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 255, (64, 48, 3), dtype=np.uint8)
+    b = rng.integers(0, 255, (32, 80, 3), dtype=np.uint8)  # mixed sizes legal
+    f1 = pair_flow_field(a, b)
+    assert f1.shape == (2, 8, 8) and f1.dtype == np.float32
+    assert np.array_equal(f1, pair_flow_field(a, b))  # deterministic
+    zero = pair_flow_field(a, a)
+    assert np.abs(zero).max() == 0.0
+    with pytest.raises(ValueError):
+        pair_flow_field(a[:4, :4], b)  # smaller than the grid

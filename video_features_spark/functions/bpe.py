@@ -112,13 +112,12 @@ def _merges() -> dict[tuple[str, str], int]:
     return merges
 
 
-@lru_cache(maxsize=1)
-def _encoder() -> dict[str, int]:
+def _build_encoder(merges: dict[tuple[str, str], int]) -> dict[str, int]:
     """token string → id. Layout (stable): 0 = pad, 1..256 = byte alphabet,
     257.. = merged tokens in rank order, then the two specials."""
     byte_syms = sorted(bytes_to_unicode().values())
     toks = [s + "</w>" for s in byte_syms] + byte_syms
-    for (a, b) in sorted(_merges(), key=_merges().get):
+    for (a, b) in sorted(merges, key=merges.get):
         toks.append(a + b)
     enc = {t: i + 1 for i, t in enumerate(toks)}
     enc[SOT] = len(enc) + 1
@@ -126,15 +125,111 @@ def _encoder() -> dict[str, int]:
     return enc
 
 
+@lru_cache(maxsize=1)
+def _encoder() -> dict[str, int]:
+    return _build_encoder(_merges())
+
+
 def vocab_size() -> int:
     return len(_encoder()) + 1  # + pad
 
 
+# ---- external vocab seam (P19 → real CLIP drop-in) -------------------------
+# Driver-side pin: (SparkFiles name, sha256). Operators capture it in their
+# UDF closure at plan-build time (same pattern as embed._CHECKPOINTS);
+# executors resolve the file locally via SparkFiles.get and verify the digest.
+_VOCAB_PIN: "tuple[str, str] | None" = None
+
+
+def register_vocab(spark, path: str, sha256: str | None = None) -> str:
+    """Distribute a REAL merge table (the reference ships
+    ``bpe_simple_vocab_16e6.txt.gz``, loaded at ``simple_tokenizer.py:62-75``)
+    to every executor via ``SparkContext.addFile`` and pin its SHA256 — the
+    same distribution/integrity mechanism as the model weights
+    (``embed.register_checkpoint``, ``clip_src/clip.py:45-74`` analog). File
+    format: optional gzip; first line a version header; then one space-
+    separated merge pair per line in rank order. After registering, token IDS
+    match the external vocabulary; without it the deterministic trained table
+    applies (algorithm identical either way)."""
+    import hashlib
+    import os
+
+    global _VOCAB_PIN
+    with open(path, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    if sha256 is not None and digest != sha256:
+        raise ValueError(f"vocab {path}: sha256 {digest} != expected {sha256}")
+    spark.sparkContext.addFile(path)
+    _VOCAB_PIN = (os.path.basename(path), digest)
+    return digest
+
+
+def unregister_vocab() -> None:
+    global _VOCAB_PIN
+    _VOCAB_PIN = None
+
+
+def current_vocab_pin() -> "tuple[str, str] | None":
+    return _VOCAB_PIN
+
+
+class _Vocab:
+    """Merge table + encoder + per-vocab word cache (the lru-cached module
+    functions below stay bound to the default deterministic table)."""
+
+    def __init__(self, merges: dict[tuple[str, str], int]):
+        self.merges = merges
+        self.encoder = _build_encoder(merges)
+        self._words: dict[str, tuple[str, ...]] = {}
+
+    def bpe_word(self, token: str) -> tuple[str, ...]:
+        hit = self._words.get(token)
+        if hit is None:
+            hit = self._words[token] = _merge_word(token, self.merges)
+        return hit
+
+
+@lru_cache(maxsize=4)
+def _vocab_for(pin: "tuple[str, str] | None") -> _Vocab:
+    if pin is None:
+        return _Vocab(_merges())
+    filename, sha = pin
+    import gzip
+    import hashlib
+    import os
+
+    path = filename
+    if not os.path.exists(path):
+        from pyspark import SparkFiles
+
+        path = SparkFiles.get(filename)
+    with open(path, "rb") as f:
+        raw = f.read()
+    digest = hashlib.sha256(raw).hexdigest()
+    if digest != sha:
+        raise ValueError(f"vocab {filename}: sha256 {digest} != pinned {sha}")
+    if raw[:2] == b"\x1f\x8b":
+        raw = gzip.decompress(raw)
+    lines = raw.decode("utf-8").split("\n")[1:]  # first line = version header
+    merges: dict[tuple[str, str], int] = {}
+    for line in lines:
+        parts = tuple(line.split())
+        if len(parts) == 2:
+            merges[parts] = len(merges)
+    if not merges:
+        raise ValueError(f"vocab {filename}: no merge pairs parsed")
+    return _Vocab(merges)
+
+
 @lru_cache(maxsize=65536)
 def _bpe_word(token: str) -> tuple[str, ...]:
+    """Greedy merge over the default deterministic table."""
+    return _merge_word(token, _merges())
+
+
+def _merge_word(token: str, merges: dict[tuple[str, str], int]) -> tuple[str, ...]:
     """Greedy merge loop (reference simple_tokenizer.py:85-113): repeatedly
     merge the adjacent pair with the lowest merge rank until none applies."""
-    merges = _merges()
     word: tuple[str, ...] = tuple(token[:-1]) + (token[-1] + "</w>",)
     while len(word) > 1:
         pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
@@ -155,30 +250,39 @@ def _bpe_word(token: str) -> tuple[str, ...]:
     return word
 
 
-def encode(text: str) -> list[int]:
+def encode(text: str, vocab_pin: "tuple[str, str] | None" = None) -> list[int]:
     """Text → BPE ids (no framing). Cleanup mirrors the reference
-    (simple_tokenizer.py:123: whitespace-collapse + lowercase before split)."""
+    (simple_tokenizer.py:123: whitespace-collapse + lowercase before split).
+    ``vocab_pin`` selects a registered external merge table (see
+    ``register_vocab``); None = the deterministic trained one."""
     b2u = bytes_to_unicode()
-    enc = _encoder()
+    if vocab_pin is None:
+        enc, bpe_word = _encoder(), _bpe_word
+    else:
+        v = _vocab_for(vocab_pin)
+        enc, bpe_word = v.encoder, v.bpe_word
     ids: list[int] = []
     for tok in _PAT.findall(clean_caption(text)):
         mapped = "".join(b2u[b] for b in tok.encode("utf-8"))
-        ids.extend(enc[piece] for piece in _bpe_word(mapped) if piece in enc)
+        ids.extend(enc[piece] for piece in bpe_word(mapped) if piece in enc)
     return ids
 
 
 def tokenize(
-    texts: list[str | None], context_length: int = CONTEXT_LENGTH, truncate: bool = True
+    texts: list[str | None],
+    context_length: int = CONTEXT_LENGTH,
+    truncate: bool = True,
+    vocab_pin: "tuple[str, str] | None" = None,
 ) -> list[list[int]]:
     """Reference ``clip.tokenize`` contract (clip_src/clip.py:200-240):
     ``[SOT] + bpe(text) + [EOT]`` zero-padded to ``context_length``; overlong
     inputs are truncated (EOT kept as the final token) when ``truncate`` else
     raise. Nulls tokenize as the empty string."""
-    enc = _encoder()
+    enc = _encoder() if vocab_pin is None else _vocab_for(vocab_pin).encoder
     sot, eot = enc[SOT], enc[EOT]
     out: list[list[int]] = []
     for t in texts:
-        ids = [sot] + encode(t or "") + [eot]
+        ids = [sot] + encode(t or "", vocab_pin) + [eot]
         if len(ids) > context_length:
             if not truncate:
                 raise ValueError(f"input too long for context length {context_length}")

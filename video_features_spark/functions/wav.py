@@ -82,6 +82,8 @@ def _mp4_boxes(data: bytes, pos: int, end: int):
         tag = data[pos + 4 : pos + 8]
         body = pos + 8
         if size == 1:
+            if pos + 16 > end:
+                raise ValueError("corrupt MP4: bad box size")
             (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
             body = pos + 16
         elif size == 0:
@@ -191,14 +193,61 @@ def encode_mp4_pcm(samples: np.ndarray, sample_rate: int = SAMPLE_RATE) -> bytes
     return ftyp + moov + box(b"mdat", x.tobytes())
 
 
-def demux_audio(data: bytes) -> tuple[np.ndarray, int]:
+def has_ffmpeg() -> bool:
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
+
+def ffmpeg_to_wav(data: bytes) -> bytes:
+    """Transcode any ffmpeg-supported compressed audio (or A/V container) to
+    RIFF/WAVE PCM16 through an ffmpeg subprocess — the EXECUTABLE form of the
+    adapter recipe in ``demux_mp4_pcm``'s docstring (the reference shells out
+    the same way: ``/root/reference/utils/utils.py:194-223``, mp4→aac→wav).
+    Output goes via a temp file, not a stdout pipe: ffmpeg can't seek a pipe
+    and would leave WAV size fields unset. Per-row subprocess cost is
+    inherent to compressed decode; the reference pays it per file too."""
+    import os
+    import subprocess
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".wav")
+    os.close(fd)
+    try:
+        proc = subprocess.run(
+            ["ffmpeg", "-v", "error", "-i", "pipe:0",
+             "-acodec", "pcm_s16le", "-f", "wav", "-y", path],
+            input=data, capture_output=True, timeout=120,
+        )
+        if proc.returncode != 0:
+            raise ValueError(
+                f"ffmpeg transcode failed: {proc.stderr.decode(errors='replace')[-200:]}"
+            )
+        with open(path, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(path)
+
+
+def demux_audio(data: bytes, allow_ffmpeg: bool = True) -> tuple[np.ndarray, int]:
     """Container dispatch for the ``audio`` binary column: RIFF/WAVE →
-    ``decode_wav``; ISO-BMFF (ftyp) → ``demux_mp4_pcm``. One seam, sniffed by
-    magic — the audio twin of ``codec.decode_image``'s format sniffing."""
+    ``decode_wav``; ISO-BMFF (ftyp) with raw PCM16 → ``demux_mp4_pcm``. One
+    seam, sniffed by magic — the audio twin of ``codec.decode_image``'s
+    format sniffing. Compressed codecs and unknown containers fall back to
+    ``ffmpeg_to_wav`` where ffmpeg is on PATH (S5 completion; gated by a
+    skipif test — this sandbox ships no ffmpeg); otherwise they raise and the
+    operator quarantines the row (S10)."""
     if data[:4] == b"RIFF":
         return decode_wav(data)
     if len(data) >= 12 and data[4:8] == b"ftyp":
-        return demux_mp4_pcm(data)
+        try:
+            return demux_mp4_pcm(data)
+        except ValueError:
+            if allow_ffmpeg and has_ffmpeg():
+                return decode_wav(ffmpeg_to_wav(data))
+            raise
+    if allow_ffmpeg and has_ffmpeg():
+        return decode_wav(ffmpeg_to_wav(data))
     raise ValueError("unknown audio container: not RIFF/WAVE or ISO-BMFF")
 
 

@@ -184,18 +184,26 @@ def lsh_candidate_pairs(
 
 def jaccard_on_pairs(
     sh: DataFrame, pairs: DataFrame, id_col: str, threshold: float = 0.0,
-    broadcast_pairs: bool = True,
+    broadcast_pairs: bool | None = None,
+    max_broadcast_pairs: int = 500_000,
 ) -> DataFrame:
     """Exact Jaccard restricted to a given candidate pair list — the verifier
     LSH exists to feed. Only candidate pairs' shingles are joined: the pair
-    list broadcasts into the shingle table (default — post-LSH candidate sets
-    are small relative to the corpus), so the cost is O(candidates ×
-    shingles-per-doc), never the full-corpus shingle self-join. If a loose
-    banding config makes the candidate set itself huge, pass
-    ``broadcast_pairs=False`` to fall back to a shuffle join on id_a instead
-    of forcing an executor-memory-sized broadcast.
+    list broadcasts into the shingle table (post-LSH candidate sets are small
+    relative to the corpus), so the cost is O(candidates × shingles-per-doc),
+    never the full-corpus shingle self-join.
+
+    ``broadcast_pairs=None`` (default) decides automatically: a bounded probe
+    (``pairs.limit(max_broadcast_pairs + 1).count()`` — CollectLimit stops
+    early, it never materializes a huge candidate set) picks broadcast for
+    ≤ ``max_broadcast_pairs`` candidates and a shuffle join on id_a above it,
+    so a loose banding config can no longer OOM an executor-memory broadcast.
+    Pass True/False to force a side.
 
     ``sh`` is a ``shingle_table`` output; ``pairs`` has (id_a, id_b)."""
+    if broadcast_pairs is None:
+        probe = pairs.limit(max_broadcast_pairs + 1).count()
+        broadcast_pairs = probe <= max_broadcast_pairs
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sha = sh.select(F.col(id_col).alias("id_a"), "h")
     shb = sh.select(F.col(id_col).alias("id_b"), "h")
@@ -214,13 +222,21 @@ def jaccard_on_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    # docs with ZERO shingles (text shorter than shingle_n) have no sizes row
+    # — LEFT joins + coalesce keep their pairs too, and an empty-∪-empty pair
+    # is jaccard 0.0 by convention (guards the 0/0 division)
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter.join(sa, "id_a", "left")
+        .join(sb, "id_b", "left")
+        .withColumn("sz_a", F.coalesce(F.col("sz_a"), F.lit(0)))
+        .withColumn("sz_b", F.coalesce(F.col("sz_b"), F.lit(0)))
         .select(
             "id_a",
             "id_b",
-            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+            F.when(union_sz == 0, F.lit(0.0))
+            .otherwise(F.col("inter") / union_sz)
+            .alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -234,13 +250,15 @@ def minhash_dedup(
     bands: int = 8,
     shingle_n: int = 5,
     threshold: float = 0.7,
-    broadcast_pairs: bool = True,
+    broadcast_pairs: bool | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: MinHash → LSH banding → candidate pairs →
     exact-Jaccard verification ≥ threshold, computed ONLY over the LSH
     candidates (the pruning is the whole point — verifying against a
     full-corpus Jaccard would re-introduce the O(n²) shingle self-join).
-    Returns verified (id_a, id_b, jaccard) pairs."""
+    ``broadcast_pairs=None`` auto-picks broadcast vs shuffle by candidate
+    count (see ``jaccard_on_pairs``). Returns verified (id_a, id_b, jaccard)
+    pairs."""
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     cands = lsh_candidate_pairs(sigs, id_col, bands)
     sh = shingle_table(df, id_col, text_col, shingle_n)

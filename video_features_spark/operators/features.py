@@ -146,12 +146,20 @@ def caption_bpe_tokenize(
     split, greedy rank-ordered pair merging, SOT/EOT framing, fixed-length
     zero-padded output — the reference tokenizer's algorithm
     (simple_tokenizer.py:62-127, clip.py:200-240) over a deterministic trained
-    merge table (functions/bpe.py). Vocab builds once per executor process."""
-    from ..functions.bpe import tokenize
+    merge table (functions/bpe.py), or over a REAL registered vocabulary
+    (``bpe.register_vocab`` — the ``bpe_simple_vocab_16e6`` drop-in seam,
+    distributed via SparkFiles + SHA256 like the model weights). The pin is
+    captured at plan-build time so every executor resolves + verifies the
+    same file. Vocab builds once per executor process."""
+    from ..functions.bpe import current_vocab_pin, tokenize
+
+    pin = current_vocab_pin()
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def _tok(texts: pd.Series) -> pd.Series:
-        return pd.Series(tokenize(texts.tolist(), context_length=context_length))
+        return pd.Series(
+            tokenize(texts.tolist(), context_length=context_length, vocab_pin=pin)
+        )
 
     return df.withColumn(out_col, _tok(F.col(caption_col)))
 

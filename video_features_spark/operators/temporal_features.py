@@ -221,6 +221,57 @@ def consecutive_pair_embeddings(
     return paired.mapInPandas(run, schema=out_schema)
 
 
+def consecutive_pair_flow_fields(
+    df: DataFrame,
+    grid: int = 8,
+    entity_col: str = "entity_id",
+    ts_col: str = "ts",
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Pair every image with its entity's next image and emit a DENSE coarse
+    flow field per pair — the reference's RAFT *output* semantics (a 2-channel
+    motion grid per consecutive pair, ``raft_src/raft.py:118-177``), where
+    ``consecutive_pair_embeddings`` matches only its two-input *architecture*
+    shape. The field is ``functions.flow.pair_flow_field`` flattened to
+    ``array<float>`` of length ``2*grid*grid`` in (channel, row, col) order.
+    Same J1 lead-window pairing; decode failures quarantine per-row (S10)."""
+    from ..functions.flow import pair_flow_field
+
+    w = Window.partitionBy(entity_col).orderBy(ts_col)
+    paired = (
+        df.select(entity_col, ts_col, bytes_col, fmt_col)
+        .withColumn("__nb", F.lead(bytes_col).over(w))
+        .withColumn("__nf", F.lead(fmt_col).over(w))
+        .withColumn("__nts", F.lead(ts_col).over(w))
+        .filter(F.col("__nb").isNotNull())
+    )
+    id_schema = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in (entity_col, ts_col)
+    )
+    out_schema = f"{id_schema}, next_ts timestamp, flow array<float>, error string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            flows, err = [], []
+            for i in range(len(b)):
+                try:
+                    a = decode_image(bytes(b[bytes_col].iloc[i]), b[fmt_col].iloc[i])
+                    nxt = decode_image(bytes(b["__nb"].iloc[i]), b["__nf"].iloc[i])
+                    flows.append(pair_flow_field(a, nxt, grid).ravel().tolist())
+                    err.append(None)
+                except Exception as e:  # noqa: BLE001 - quarantine
+                    flows.append(None)
+                    err.append(f"{type(e).__name__}: {e}")
+            out = b[[entity_col, ts_col]].copy()
+            out["next_ts"] = b["__nts"].values
+            out["flow"] = flows
+            out["error"] = err
+            yield out
+
+    return paired.mapInPandas(run, schema=out_schema)
+
+
 def stack_mean_pool(
     df: DataFrame,
     entity_col: str = "entity_id",

@@ -231,6 +231,10 @@ def rolling_range_agg(
     Output columns: ``n_{suffix}`` for count, ``{agg}_{suffix}`` otherwise
     (suffix defaults to ``{range_seconds}s``).
     """
+    if range_seconds != int(range_seconds) or range_seconds <= 0:
+        # rangeBetween takes integral offsets; -int(0.5) would silently build
+        # a 0-width frame — reject instead of mis-aggregating
+        raise ValueError(f"range_seconds must be a positive whole number, got {range_seconds}")
     w = (
         Window.partitionBy(*entity_cols)
         .orderBy(_epoch_seconds(F.col(ts_col)))
