@@ -753,6 +753,49 @@ def _q_image_pair_flow_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 video scan, executable end to end: MJPEG-in-AVI clips (real RIFF
+    container, real baseline-JPEG frames) → ``extract_video_frames`` (the
+    reference's VideoCapture read loop + ts derivation, ``utils/io.py:96-154``,
+    as one map-only pass) → per-frame decode through the same codec the image
+    pipeline uses. Emits engine-neutral decode proof (shape + pixel sum);
+    frame-count exactness is gated in-query against the clips' own metadata."""
+    from video_features_spark.functions.codec import decode_image
+    from video_features_spark.operators.video import extract_video_frames
+    from video_features_spark.sources.datagen import generate_videos
+
+    n = max(_n_images(sf_dir) // 20, 10)
+    n_ent = max(n // 5, 1)
+    vids = generate_videos(spark, n, n_entities=n_ent)
+    frames = extract_video_frames(vids)
+
+    def stats(batches):
+        for b in batches:
+            hh, ww, ps = [], [], []
+            for i in range(len(b)):
+                img = decode_image(bytes(b["bytes"].iloc[i]), b["fmt"].iloc[i])
+                hh.append(img.shape[0])
+                ww.append(img.shape[1])
+                ps.append(int(img.astype("int64").sum()))
+            out = b[["video_id", "frame_idx", "frame_ts"]].copy()
+            out["frame_h"] = hh
+            out["frame_w"] = ww
+            out["pix_sum"] = ps
+            yield out
+
+    out = frames.mapInPandas(
+        stats,
+        schema=(
+            "video_id string, frame_idx int, frame_ts timestamp, "
+            "frame_h int, frame_w int, pix_sum long"
+        ),
+    )
+    _assert_empty(frames, F.col("error").isNotNull(), "no clip quarantines")
+    expected = vids.agg(F.sum("n_frames")).first()[0]
+    _assert_count(out, int(expected), "every container frame becomes a row")
+    return out
+
+
 def _q_image_stack_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-stack mean-pooled clip embeddings (S3D/A1 pattern)."""
     from video_features_spark.operators.temporal_features import stack_mean_pool
@@ -1132,6 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_pair_motion": _q_image_pair_motion,
         "image_pair_flow": _q_image_pair_flow,
         "image_pair_flow_field": _q_image_pair_flow_field,
+        "video_frames": _q_video_frames,
         "image_stack_pool": _q_image_stack_pool,
         "image_zero_shot": _q_image_zero_shot,
         "caption_bpe": _q_caption_bpe,
@@ -1585,11 +1629,38 @@ def _payload_section_small() -> dict:
     }
 
 
+def _payload_section_video() -> dict:
+    """video_frames: regenerate the MJPEG-AVI clips (pure function of
+    (seed, rid)), demux with the container codec, decode each frame with the
+    same T.81 kernel the query runs (integer pipeline — no BLAS sensitivity),
+    and keep (video_id, frame_idx, frame_ts, h, w, pixel sum)."""
+    import pandas as pd
+
+    from video_features_spark.functions.avi import demux_mjpeg_avi
+    from video_features_spark.functions.codec import decode_image
+    from video_features_spark.sources.datagen import SEED, _video_row
+
+    nv = max(_oracle_n_images() // 20, 10)
+    nv_ent = max(nv // 5, 1)
+    rows = []
+    for rid in range(nv):
+        vid, _ent, ts, blob, fps, _nf, _w, _h = _video_row(SEED, rid, nv_ent)
+        got_fps, frames = demux_mjpeg_avi(bytes(blob))
+        for j, payload in enumerate(frames):
+            img = decode_image(payload, "jpg")
+            fts = ts + pd.Timedelta(seconds=j / got_fps)
+            rows.append(
+                (vid, j, str(fts), img.shape[0], img.shape[1], int(img.astype("int64").sum()))
+            )
+    return {"video_frames": rows}
+
+
 _PAYLOAD_SECTIONS = (
     "_payload_section_main",
     "_payload_section_pairs",
     "_payload_section_audio",
     "_payload_section_small",
+    "_payload_section_video",
 )
 
 
@@ -1739,6 +1810,21 @@ def _image_pair_flow_field_oracle() -> str:
         SELECT entity_id, ts, next_ts, 128::INT AS flow_dim,
                flow_sq_norm::DOUBLE AS flow_sq_norm, NULL::VARCHAR AS error
         FROM (VALUES {values}) AS t(entity_id, ts, next_ts, flow_sq_norm)
+    """
+
+
+def _video_frames_oracle() -> str:
+    """DuckDB twin of video_frames: clips regenerated + demuxed + decoded with
+    the operators' own container/JPEG kernels (see _payload_section_video)."""
+    values = ", ".join(
+        f"('{vid}', {j}, TIMESTAMP '{fts}', {h}, {w}, {ps})"
+        for vid, j, fts, h, w, ps in _oracle_payload()["video_frames"]
+    )
+    return f"""
+        SELECT video_id, frame_idx::INT AS frame_idx, frame_ts,
+               frame_h::INT AS frame_h, frame_w::INT AS frame_w,
+               pix_sum::BIGINT AS pix_sum
+        FROM (VALUES {values}) AS t(video_id, frame_idx, frame_ts, frame_h, frame_w, pix_sum)
     """
 
 
@@ -2464,6 +2550,7 @@ def oracle_sql() -> dict[str, str]:
         "image_caption_sim": _image_caption_sim_oracle(),
         "image_pair_flow": _image_pair_flow_oracle(),
         "image_pair_flow_field": _image_pair_flow_field_oracle(),
+        "video_frames": _video_frames_oracle(),
         "image_stack_pool": _image_stack_pool_oracle(),
         "audio_logmel": _audio_logmel_oracle(),
         "image_augmented_fp16": _image_augmented_fp16_oracle(),

@@ -221,6 +221,9 @@ def _run_queries(spark, args, out: dict) -> None:
         "curate_corpus", "dedup_groups", "minhash_lsh_dedup",
         "embedding_near_dup_blocked", "ann_lsh_topk", "simhash_sigs",
         "langid_ngram", "text_quality",
+        # round-4 additions: S9 resume, §2.8 streaming parity, dense flow
+        "checkpoint_resume", "stream_asof", "image_pair_flow_field",
+        "video_frames",
     ]
     for name in headline:
         t0 = time.time()

@@ -205,3 +205,81 @@ def test_ivf_centroid_fit_no_global_sort(spark, sf_dir):
     a = ivf_fit_centroids(emb.repartition(2), n_centroids=8, sample_size=128)
     b = ivf_fit_centroids(emb.repartition(13), n_centroids=8, sample_size=128)
     assert (a == b).all()
+
+
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_cc_star_handles_adversarial_chain(spark):
+    """The round-4 hardening gate: an adversarial duplicate CHAIN needs
+    O(length) rounds under min-label propagation but only O(log²) under the
+    large-star/small-star default — star must be exact on a 120-chain within
+    12 rounds, where label propagation provably is not (the reason the
+    default changed)."""
+    from video_features_spark.operators.dedup import connected_components
+
+    n = 120
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, max_iter=12).collect()
+    }
+    assert star == {i: 0 for i in range(n)}
+    label = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, max_iter=12, algorithm="label").collect()
+    }
+    assert label != star  # diameter-bound: 12 rounds can't traverse 120 hops
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+
+@st.composite
+def _graphs(draw):
+    n = draw(st.integers(min_value=2, max_value=20))
+    n_edges = draw(st.integers(min_value=1, max_value=32))
+    edges = [
+        (draw(st.integers(0, n - 1)), draw(st.integers(0, n - 1)))
+        for _ in range(n_edges)
+    ]
+    return [e for e in edges if e[0] != e[1]] or [(0, 1)]
+
+
+@given(edges=_graphs())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+def test_cc_star_equals_label_equals_union_find(spark, edges):
+    """Hypothesis gate: on random graphs (self-loop-free, duplicate edges
+    legal, both orientations legal) the star and label algorithms agree with
+    a pure-Python union-find ground truth."""
+    from video_features_spark.operators.dedup import connected_components
+
+    nodes = sorted({x for e in edges for x in e})
+    want = _union_find(nodes, edges)
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    label = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, algorithm="label", max_iter=100).collect()
+    }
+    assert star == want
+    assert label == want

@@ -19,10 +19,13 @@ from .features import (  # noqa: F401
 )
 from .similarity import cosine_topk, ivf_ann_topk, lsh_ann_topk  # noqa: F401
 from .temporal_features import (  # noqa: F401
+    consecutive_pair_embeddings,
     consecutive_pair_features,
+    consecutive_pair_flow_fields,
     stack_mean_pool,
     zero_shot_classify,
 )
+from .video import extract_video_frames  # noqa: F401
 from .text import curate_corpus, langid_ngram, quality_score  # noqa: F401
 from .windows import (  # noqa: F401
     backfill,

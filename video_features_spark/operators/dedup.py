@@ -202,8 +202,11 @@ def jaccard_on_pairs(
 
     ``sh`` is a ``shingle_table`` output; ``pairs`` has (id_a, id_b)."""
     if broadcast_pairs is None:
-        probe = pairs.limit(max_broadcast_pairs + 1).count()
-        broadcast_pairs = probe <= max_broadcast_pairs
+        # bounded probe: CollectLimit stops pulling reduce partitions once the
+        # cap is crossed, so a pathological candidate explosion never fully
+        # materializes driver-side (measured: ~the candidate chain's map cost,
+        # cheaper than an eager localCheckpoint of the full set)
+        broadcast_pairs = pairs.limit(max_broadcast_pairs + 1).count() <= max_broadcast_pairs
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sha = sh.select(F.col(id_col).alias("id_a"), "h")
     shb = sh.select(F.col(id_col).alias("id_b"), "h")
@@ -270,18 +273,30 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Connected components over near-dup pairs → ``(id, component)`` with
-    component = the smallest member id. Iterative min-label propagation
-    (each round: every node adopts the smallest label among itself and its
-    neighbors; converges in O(component diameter) rounds — near-dup clusters
-    are shallow, so typically 2-4).
+    component = the smallest member id.
 
-    Scale notes: each round is one join + one groupBy (shuffle on id);
-    ``localCheckpoint`` truncates the lineage every round — without it the
-    plan doubles per iteration and the driver chokes long before the data
-    does. This is the step that turns verified pairs into dedup groups
-    (keep min(id) per component, drop the rest)."""
+    ``algorithm='star'`` (default): alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — converges in O(log² n) rounds on ANY graph shape.
+    ``algorithm='label'``: iterative min-label propagation — O(component
+    diameter) rounds; fine for shallow near-dup clusters but an adversarial
+    duplicate CHAIN (each doc near-dup of the next) makes the round count
+    linear in chain length at scale, so it is no longer the default. The two
+    are hypothesis-gated equivalent (tests/test_dedup.py).
+
+    Scale notes: every step is a join/groupBy keyed on node id — neighbor
+    lists are never materialized (hot star centers stay aggregate-shaped;
+    AQE skew-join applies); ``localCheckpoint`` truncates the lineage every
+    round — without it the plan doubles per iteration and the driver chokes
+    long before the data does. This is the step that turns verified pairs
+    into dedup groups (keep min(id) per component, drop the rest)."""
+    if algorithm == "star":
+        return _cc_alternating_stars(pairs, id_a, id_b, max_iter)
+    if algorithm != "label":
+        raise ValueError(f"algorithm must be star|label, got {algorithm!r}")
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -310,6 +325,89 @@ def connected_components(
         if not changed:
             break
     return labels
+
+
+def _cc_alternating_stars(
+    pairs: DataFrame, id_a: str, id_b: str, max_iter: int
+) -> DataFrame:
+    """See ``connected_components(algorithm='star')``. Each round:
+
+    - large-star: every node's STRICTLY LARGER neighbors re-point to the
+      minimum of its closed neighborhood → emitted edges always point
+      larger→smaller.
+    - small-star: every node and its (now all-smaller) neighbors re-point to
+      the neighborhood minimum → components contract toward their root.
+
+    Fixed point = a star forest: every edge is (member, root). Both stars are
+    groupBy-min + join on the node id; the convergence probe is two LIMIT-1
+    scans of the checkpointed round output."""
+    # ONE materialization of the (possibly expensive) upstream pair chain;
+    # nodes and working edges both derive from it
+    raw = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        raw.select(F.col("src").alias("id"))
+        .unionByName(raw.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    edges = raw.filter(F.col("src") != F.col("dst"))
+
+    def _not_star_forest(e: DataFrame) -> bool:
+        """Fixed point ⟺ the edge set is a star forest: no parent is itself
+        a child (no chains) and every child has exactly one parent."""
+        chained = (
+            e.join(e.select(F.col("dst").alias("src")).distinct(), "src", "semi")
+            .limit(1)
+            .count()
+        )
+        if chained:
+            return True
+        multi = e.groupBy("src").count().filter(F.col("count") > 1).limit(1).count()
+        return multi > 0
+
+    for rnd in range(max_iter):
+        # large-star over the bidirected neighborhood
+        bi = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = (
+            bi.groupBy("src")
+            .agg(F.min("dst").alias("__mn"))
+            .select("src", F.least("__mn", F.col("src")).alias("__m"))
+        )
+        # no distinct/checkpoint here: duplicates collapse in the small-star
+        # distinct below, and the two references to `ls` share their shuffle
+        # (ReusedExchange) inside the ONE materialization per round
+        ls = (
+            bi.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        # small-star: edges now all point larger→smaller
+        mn = ls.groupBy("src").agg(F.min("dst").alias("__m"))
+        new = (
+            ls.join(mn, "src")
+            .filter(F.col("dst") != F.col("__m"))
+            .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+            .unionByName(mn.select("src", F.col("__m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()  # cut lineage: iterative plans grow per round
+        )
+        edges = new
+        # a non-trivial input is never star-shaped after round 0's large-star
+        # alone — skip the probe there to save two jobs
+        if rnd > 0 and not _not_star_forest(edges):
+            break
+    return nodes.join(
+        edges.select(F.col("src").alias("id"), F.col("dst").alias("component")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("component", "id").alias("component"))
 
 
 def dedup_groups(

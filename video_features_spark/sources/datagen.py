@@ -223,3 +223,59 @@ def _audio_row(seed: int, rid: int, n_entities: int, sample_rate: int = 16000) -
         f"clip{rid:08d}", f"e{entity:05d}", ts,
         bytearray(encode_wav(pcm, sample_rate)), sample_rate, ch, n,
     )
+
+
+VIDEOS_SCHEMA = (
+    "video_id string, entity_id string, ts timestamp, video binary, "
+    "fps int, n_frames int, w int, h int"
+)
+
+
+def _video_row(seed: int, rid: int, n_entities: int, fps: int = 4) -> tuple:
+    """One MJPEG-AVI clip as a pure function of (seed, rid) — module-level so
+    the driver oracles can regenerate clips outside Spark (same contract as
+    ``_audio_row``). Frames are the entity's base pattern under horizontal
+    motion (np.roll) + per-frame seeded noise, real-JPEG encoded."""
+    from ..functions.avi import encode_mjpeg_avi
+    from ..functions.jpeg import encode_jpeg
+
+    rng = np.random.default_rng((seed << 38) ^ (rid + 29))
+    entity = rid % n_entities
+    seq = rid // n_entities
+    ts = _EPOCH + pd.Timedelta(seconds=seq * 600 + int(rng.integers(0, 300)))
+    w = int(_SIZES_W[rng.integers(0, 3)])  # small sizes: frames are many
+    h = int(_SIZES_H[rng.integers(0, 3)])
+    n_frames = int(rng.integers(4, 9))
+    pix0 = _base_pattern(int(rng.integers(0, _N_BASES)), h, w).astype(np.int16)
+    frames = []
+    for i in range(n_frames):
+        shifted = np.roll(pix0, shift=3 * i, axis=1)
+        noise = rng.integers(-3, 4, size=shifted.shape, dtype=np.int16)
+        frames.append(encode_jpeg(np.clip(shifted + noise, 0, 255).astype(np.uint8), quality=97))
+    blob = encode_mjpeg_avi(frames, fps, w, h)
+    return (f"vid{rid:08d}", f"e{entity:05d}", ts, bytearray(blob), fps, n_frames, w, h)
+
+
+def generate_videos(
+    spark: SparkSession,
+    n_rows: int,
+    n_entities: int | None = None,
+    seed: int = SEED,
+    fps: int = 4,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Synthetic MJPEG-AVI clip table for the video-scan family (S2): 4–8
+    real-JPEG frames per clip in a real RIFF/AVI container. ``n_frames``
+    rides along so invariants can compute exact expected frame counts
+    without demuxing."""
+    n_entities = n_entities or max(n_rows // 5, 1)
+    partitions = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                [_video_row(seed, int(rid), n_entities, fps) for rid in b["id"]],
+                columns=["video_id", "entity_id", "ts", "video", "fps", "n_frames", "w", "h"],
+            )
+
+    return spark.range(n_rows, numPartitions=partitions).mapInPandas(gen, schema=VIDEOS_SCHEMA)
