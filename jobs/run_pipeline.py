@@ -26,8 +26,8 @@ def main() -> None:
     ap.add_argument("--labels", required=True, help="parquet dir: (entity_id, label_ts, label)")
     ap.add_argument("--output", required=True, help="output base dir (data + _manifest)")
     ap.add_argument("--model", default="clip-small-det")
-    ap.add_argument("--modality", default="image", choices=["image", "audio"],
-                    help="media type of --images (audio = WAV clip table)")
+    ap.add_argument("--modality", default="image", choices=["image", "audio", "video"],
+                    help="media type of --images (audio = WAV clips; video = MJPEG-AVI clips)")
     ap.add_argument("--num-parts", type=int, default=64)
     ap.add_argument("--snapshot-id", default="snapshot-0")
     ap.add_argument("--salt-threshold", type=int, default=None,

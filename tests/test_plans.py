@@ -81,8 +81,34 @@ def test_job_spec_validates_modality_and_precision(tmp_path):
 
     base = dict(images_path="a", labels_path="b", output_path="c")
     with _pytest.raises(ValueError, match="modality"):
-        FeatureJobSpec(**base, modality="video").validate()
+        FeatureJobSpec(**base, modality="text").validate()
+    FeatureJobSpec(**base, modality="video").validate()  # S2 path is real now
     with _pytest.raises(ValueError, match="precision"):
         FeatureJobSpec(**base, precision="int8").validate()
     FeatureJobSpec(**base, modality="audio", model="vggish-det").validate()
     FeatureJobSpec(**base, precision="fp16", augment_seed=7).validate()
+
+
+def test_video_job_spec_end_to_end_and_resume(spark, tmp_path):
+    """S2 composition through the job spec: MJPEG-AVI clips → frame stream →
+    embed → strict as-of → checkpointed write; re-run resumes to a no-op."""
+    from pyspark.sql import functions as F
+
+    from video_features_spark.plans.pipeline import FeatureJobSpec, run
+    from video_features_spark.sources.datagen import generate_labels, generate_videos
+
+    clips = str(tmp_path / "clips")
+    labels = str(tmp_path / "labels")
+    out = str(tmp_path / "out")
+    generate_videos(spark, 10, n_entities=5).write.parquet(clips)
+    generate_labels(spark, 20, n_entities=5).write.parquet(labels)
+    spec = FeatureJobSpec(
+        images_path=clips, labels_path=labels, output_path=out,
+        modality="video", num_parts=4,
+    )
+    stats = run(spark, spec)
+    assert stats["parts_written"] > 0 and stats["rows_written"] == 20
+    joined = spark.read.parquet(out + "/data")
+    assert joined.filter(F.col("embedding").isNotNull()).count() > 0
+    stats2 = run(spark, spec)
+    assert stats2["parts_written"] == 0 and stats2["parts_skipped"] == stats["parts_written"]

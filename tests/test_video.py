@@ -89,3 +89,41 @@ def test_video_feeds_image_pipeline_map_only(spark, videos):
     assert "embedding" in rows.columns
     got = feats.filter("error is null").count()
     assert got == videos.agg(F.sum("n_frames")).first()[0]
+
+
+@pytest.mark.skipif(
+    not __import__("shutil").which("ffmpeg"), reason="ffmpeg not on PATH"
+)
+def test_ffmpeg_video_adapter_decodes_foreign_codec(spark):
+    """S2 completion gate for foreign codecs: an mpeg4-AVI (encoded here with
+    ffmpeg's native encoder) is NOT MJPEG, so the in-process demux refuses it;
+    demux_video falls back to an ffmpeg MJPEG transcode and the frame stream
+    flows through extract_video_frames with the frame count preserved."""
+    import subprocess
+    import tempfile
+
+    from video_features_spark.functions.avi import demux_mjpeg_avi, demux_video
+
+    rng = np.random.default_rng(11)
+    frames = [
+        encode_jpeg(rng.integers(0, 255, (32, 48, 3), dtype=np.uint8), quality=97)
+        for _ in range(6)
+    ]
+    src = encode_mjpeg_avi(frames, fps=4, width=48, height=32)
+    with tempfile.NamedTemporaryFile(suffix=".avi") as tf:
+        subprocess.run(
+            ["ffmpeg", "-v", "error", "-f", "avi", "-i", "pipe:0",
+             "-c:v", "mpeg4", "-q:v", "2", "-an", "-y", tf.name],
+            input=src, check=True, capture_output=True, timeout=300,
+        )
+        foreign = open(tf.name, "rb").read()
+    with pytest.raises(ValueError):
+        demux_mjpeg_avi(foreign)  # not MJPEG — in-process demux refuses
+    fps, out = demux_video(foreign)  # adapter transcodes back to MJPEG
+    assert len(out) == len(frames) and fps == 4.0
+    df = spark.createDataFrame(
+        [("v0", "e0", None, bytearray(foreign))],
+        "video_id string, entity_id string, ts timestamp, video binary",
+    )
+    rows = extract_video_frames(df).collect()
+    assert len(rows) == len(frames) and all(r["error"] is None for r in rows)

@@ -88,6 +88,53 @@ def _find_list(data: bytes, pos: int, end: int, kind: bytes):
     return None
 
 
+def has_ffmpeg() -> bool:
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
+
+def ffmpeg_to_mjpeg_avi(data: bytes) -> bytes:
+    """Transcode any ffmpeg-supported video container/codec (H.264-mp4, VP9,
+    mpeg4-avi, ...) to MJPEG-in-AVI through an ffmpeg subprocess — the
+    executable adapter that makes ``demux_mjpeg_avi`` the single in-engine
+    seam (the audio twin is ``wav.ffmpeg_to_wav``; the reference shells out
+    to ffmpeg the same way, ``utils/utils.py:194-223``). Output via a temp
+    file: AVI headers need a seekable sink."""
+    import os
+    import subprocess
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".avi")
+    os.close(fd)
+    try:
+        proc = subprocess.run(
+            ["ffmpeg", "-v", "error", "-i", "pipe:0",
+             "-c:v", "mjpeg", "-q:v", "2", "-an", "-f", "avi", "-y", path],
+            input=data, capture_output=True, timeout=300,
+        )
+        if proc.returncode != 0:
+            raise ValueError(
+                f"ffmpeg video transcode failed: {proc.stderr.decode(errors='replace')[-200:]}"
+            )
+        with open(path, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(path)
+
+
+def demux_video(data: bytes, allow_ffmpeg: bool = True) -> tuple[float, list[bytes]]:
+    """Container dispatch for a video binary column: MJPEG-AVI demuxes
+    in-process; anything else falls back to ``ffmpeg_to_mjpeg_avi`` where
+    ffmpeg is on PATH, otherwise raises (the operator quarantines, S10)."""
+    try:
+        return demux_mjpeg_avi(data)
+    except ValueError:
+        if allow_ffmpeg and has_ffmpeg():
+            return demux_mjpeg_avi(ffmpeg_to_mjpeg_avi(data))
+        raise
+
+
 def demux_mjpeg_avi(data: bytes) -> tuple[float, list[bytes]]:
     """AVI bytes → (fps, JPEG frame payloads). fps from the video stream's
     rate/scale (falling back to avih's µs-per-frame); frames from the movi

@@ -21,7 +21,7 @@ from collections.abc import Iterator, Sequence
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from ..functions.avi import demux_mjpeg_avi
+from ..functions.avi import demux_video
 
 
 def extract_video_frames(
@@ -50,7 +50,7 @@ def extract_video_frames(
                 ids = tuple(b[c].iloc[i] for c in id_cols)
                 ts0 = b[ts_col].iloc[i]
                 try:
-                    fps, frames = demux_mjpeg_avi(bytes(b[video_col].iloc[i]))
+                    fps, frames = demux_video(bytes(b[video_col].iloc[i]))
                     for j, payload in enumerate(frames):
                         rows.append(
                             (*ids, j, ts0 + pd.Timedelta(seconds=j / fps),

@@ -27,7 +27,7 @@ class FeatureJobSpec:
     labels_path: str
     output_path: str
     model: str = "clip-small-det"
-    modality: str = "image"          # image | audio (reference feature_type dispatch)
+    modality: str = "image"          # image | audio | video (reference feature_type dispatch)
     strict: bool = True              # leakage-free: feature.ts strictly < label_ts
     salt_threshold: int | None = None  # probe rows/entity before hot-key salting
     num_parts: int = 64              # checkpoint/resume granularity
@@ -38,9 +38,9 @@ class FeatureJobSpec:
 
     def validate(self) -> None:
         """sanity_check analog (utils/utils.py:74-132): fail fast on the driver."""
-        if self.modality not in ("image", "audio"):
-            raise ValueError(f"modality must be image|audio, got {self.modality!r}")
-        if self.modality == "image" and self.model not in MODEL_REGISTRY:
+        if self.modality not in ("image", "audio", "video"):
+            raise ValueError(f"modality must be image|audio|video, got {self.modality!r}")
+        if self.modality in ("image", "video") and self.model not in MODEL_REGISTRY:
             raise ValueError(
                 f"unknown model {self.model!r}; registry: {sorted(MODEL_REGISTRY)}"
             )
@@ -56,6 +56,7 @@ class FeatureJobSpec:
 
 REQUIRED_IMAGE_COLS = ("image_id", "bytes", "fmt", "entity_id", "ts")
 REQUIRED_AUDIO_COLS = ("clip_id", "audio", "entity_id", "ts")
+REQUIRED_VIDEO_COLS = ("video_id", "video", "entity_id", "ts")
 REQUIRED_LABEL_COLS = ("entity_id", "label_ts")
 
 
@@ -70,7 +71,11 @@ def build(spark: SparkSession, spec: FeatureJobSpec) -> DataFrame:
     spec.validate()
     media = read_snapshot(spark, spec.images_path, spec.snapshot_id)
     labels = read_snapshot(spark, spec.labels_path, spec.snapshot_id)
-    required = REQUIRED_IMAGE_COLS if spec.modality == "image" else REQUIRED_AUDIO_COLS
+    required = {
+        "image": REQUIRED_IMAGE_COLS,
+        "audio": REQUIRED_AUDIO_COLS,
+        "video": REQUIRED_VIDEO_COLS,
+    }[spec.modality]
     for c in required:
         if c not in media.columns:
             raise ValueError(f"{spec.modality} table missing column {c!r}")
@@ -88,6 +93,27 @@ def build(spark: SparkSession, spec: FeatureJobSpec) -> DataFrame:
         # side the same way undecodable images do
         feats = extract_audio_features(media, spec.model).filter(
             F.col("error").isNull() & (F.col("example_idx") == 0)
+        )
+    elif spec.modality == "video":
+        from pyspark.sql import functions as F
+
+        from ..operators.video import extract_video_frames
+
+        # container -> frame stream -> the SAME image embed operator; each
+        # frame is a feature row at its derived event time (clip ts + idx/fps)
+        frames = (
+            extract_video_frames(media)
+            .filter(F.col("error").isNull())
+            .select(
+                F.col("video_id").alias("image_id"),
+                "entity_id",
+                F.col("frame_ts").alias("ts"),
+                "bytes",
+                "fmt",
+            )
+        )
+        feats = extract_image_features(
+            frames, spec.model, precision=spec.precision, augment_seed=spec.augment_seed
         )
     else:
         feats = extract_image_features(
