@@ -137,6 +137,22 @@ def main(sf_dir: str) -> int:
     if "BroadcastExchange" in p_big:
         failures.append("jaccard auto-switch: over-cap candidate set still broadcasts")
 
+    # 11. video container → frame stream → decode+embed: the whole chain is
+    #     map-only (zero Exchange) — the property that scales with executors
+    from video_features_spark.operators.video import extract_video_frames
+    from video_features_spark.sources.datagen import generate_videos
+
+    vids = generate_videos(spark, 4, n_entities=2)
+    frames = extract_video_frames(vids).filter(F.col("error").isNull())
+    chain = extract_image_features(
+        frames.select(
+            F.col("video_id").alias("image_id"), "entity_id",
+            F.col("frame_ts").alias("ts"), "bytes", "fmt",
+        )
+    )
+    if " Exchange " in plan_of(chain):
+        failures.append("video frame pipeline shuffles (should be map-only)")
+
     # 9. IVF centroid sample: top-k, not a global sort
     from video_features_spark.operators.similarity import _l2  # noqa: F401
 

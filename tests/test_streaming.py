@@ -167,3 +167,21 @@ def test_stream_asof_lookup_equals_batch(spark, sf_dir, tmp_path):
     assert got == want
     # left-outer contract: the orphan probe survives with null features
     assert any(e == -999 and p is None for e, p, _ in got)
+
+
+def test_stream_video_frames_equals_batch(spark, tmp_path):
+    """S2 on a stream: extract_video_frames is mapInPandas, so the SAME
+    operator runs on a streaming DataFrame unchanged — container demux +
+    ts derivation bit-identical to batch (one code path, like embed)."""
+    from video_features_spark.operators.video import extract_video_frames
+    from video_features_spark.sources.datagen import generate_videos
+
+    d = str(tmp_path / "vids")
+    generate_videos(spark, 6, n_entities=3).write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(spark.read.parquet(d).schema).parquet(d)
+    res = _run_stream(spark, extract_video_frames(sdf), "t_vid", mode="append")
+    batch = extract_video_frames(spark.read.parquet(d))
+    key = lambda r: (r["video_id"], r["frame_idx"])  # noqa: E731
+    got = {key(r): (r["frame_ts"], bytes(r["bytes"])) for r in res.collect()}
+    want = {key(r): (r["frame_ts"], bytes(r["bytes"])) for r in batch.collect()}
+    assert got == want
