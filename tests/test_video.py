@@ -127,3 +127,22 @@ def test_ffmpeg_video_adapter_decodes_foreign_codec(spark):
     )
     rows = extract_video_frames(df).collect()
     assert len(rows) == len(frames) and all(r["error"] is None for r in rows)
+
+
+def test_avi_rec_list_interleaving():
+    """Interleaved writers wrap frame chunks in 'rec ' LISTs inside movi —
+    the demux recurses into them (real-world AVI layout, not just ours)."""
+    from video_features_spark.functions.avi import _chunk, _list
+
+    rng = np.random.default_rng(2)
+    frames = [
+        encode_jpeg(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+        for _ in range(3)
+    ]
+    plain = encode_mjpeg_avi(frames, 4, 32, 32)
+    mpos = plain.find(b"movi")
+    hdr = plain[12 : mpos - 8]
+    rec = _list(b"rec ", b"".join(_chunk(b"00dc", f) for f in frames))
+    wrapped = _chunk(b"RIFF", b"AVI " + hdr + _list(b"movi", rec))
+    fps, out = demux_mjpeg_avi(wrapped)
+    assert fps == 4.0 and out == frames

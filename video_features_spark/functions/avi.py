@@ -172,11 +172,16 @@ def demux_mjpeg_avi(data: bytes) -> tuple[float, list[bytes]]:
     movi = _find_list(data, top, end, b"movi")
     if movi is None:
         raise ValueError("corrupt AVI: no movi list")
-    frames = [
-        data[b:e]
-        for tag, b, e in _iter_chunks(data, movi[0], movi[1])
-        if tag[2:4] in (b"dc", b"db")
-    ]
+
+    def _frames_in(pos: int, stop: int):
+        for tag, b, e in _iter_chunks(data, pos, stop):
+            if tag[2:4] in (b"dc", b"db"):
+                yield data[b:e]
+            elif tag == b"LIST" and data[b : b + 4] == b"rec ":
+                # interleaved writers group chunks in 'rec ' lists — recurse
+                yield from _frames_in(b + 4, e)
+
+    frames = list(_frames_in(movi[0], movi[1]))
     if not frames:
         raise ValueError("corrupt AVI: no frame chunks in movi")
     return float(fps), frames
