@@ -129,3 +129,21 @@ def test_verify_clean_after_multi_snapshot_overwrite(spark, base):
     checkpointed_write(df2, base, ["k"], num_parts=4, snapshot_id="snap-2")
     drift = verify_manifest(spark, base)
     assert drift.count() == 0, drift.collect()
+
+
+def test_compact_manifest_keeps_latest_and_verifies(spark, base):
+    """The append-only manifest compacts to one row per partition (latest
+    manifest_seq); resume still skips everything and verify still reports no
+    drift against the surviving rows."""
+    from video_features_spark.sources.checkpoint import compact_manifest
+
+    df1 = spark.range(100).withColumn("k", F.col("id") % 10).withColumn("v", F.lit(1))
+    checkpointed_write(df1, base, ["k"], num_parts=4, snapshot_id="snap-1")
+    df2 = spark.range(100).withColumn("k", F.col("id") % 10).withColumn("v", F.lit(2))
+    checkpointed_write(df2, base, ["k"], num_parts=4, snapshot_id="snap-2")
+    stats = compact_manifest(spark, base)
+    assert stats["rows_before"] == 8 and stats["rows_after"] == 4
+    assert verify_manifest(spark, base).count() == 0
+    # resume against the compacted manifest: latest snapshot fully skipped
+    again = checkpointed_write(df2, base, ["k"], num_parts=4, snapshot_id="snap-2")
+    assert again["parts_skipped"] == 4 and again["parts_written"] == 0

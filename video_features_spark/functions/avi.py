@@ -151,6 +151,8 @@ def demux_mjpeg_avi(data: bytes) -> tuple[float, list[bytes]]:
     if strl is not None:
         for tag, b, e in _iter_chunks(data, strl[0], strl[1]):
             if tag == b"strh":
+                if e - b < 28:
+                    raise ValueError("corrupt AVI: short strh")
                 fcc_type, handler = data[b : b + 4], data[b + 4 : b + 8]
                 if fcc_type == b"vids" and handler not in (_MJPG, b"mjpg"):
                     raise ValueError(

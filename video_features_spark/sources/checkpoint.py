@@ -144,6 +144,40 @@ def read_checkpointed(spark: SparkSession, base_path: str) -> DataFrame:
     return spark.read.parquet(_data_path(base_path)).drop(PART_COL)
 
 
+def compact_manifest(spark: SparkSession, base_path: str) -> dict:
+    """Rewrite the append-only manifest down to the LATEST row per partition
+    (max ``manifest_seq`` — earlier rows describe overwritten data). The
+    manifest grows by one row per partition per (re)run; resume and verify
+    filter it every time, so long-lived bases compact periodically to keep
+    those reads O(partitions). Swap is via directory rename — atomic on a
+    POSIX filesystem; on object stores run it while no writer is active (the
+    same discipline the writer itself needs there).
+
+    Returns {"rows_before", "rows_after"}."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    manifest = load_manifest(spark, base_path)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest under {base_path}")
+    before = manifest.count()
+    latest = Window.partitionBy(PART_COL).orderBy(F.desc("manifest_seq"))
+    compacted = (
+        manifest.withColumn("__rn", F.row_number().over(latest))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    tmp = _manifest_path(base_path) + ".__compact_tmp"
+    old = _manifest_path(base_path) + ".__compact_old"
+    compacted.write.mode("overwrite").parquet(tmp)
+    after = spark.read.parquet(tmp).count()
+    os.rename(_manifest_path(base_path), old)
+    os.rename(tmp, _manifest_path(base_path))
+    shutil.rmtree(old)
+    return {"rows_before": before, "rows_after": after}
+
+
 def verify_manifest(spark: SparkSession, base_path: str) -> DataFrame:
     """Recount + re-checksum every data partition against its LATEST manifest
     row (max manifest_seq — earlier rows describe overwritten data); returns
