@@ -179,11 +179,16 @@ def main() -> None:
     # estimates the clean-host value. Every attempt's raw numbers ship in
     # "attempts" for the skeptical reader.
     def scale_pair(tag: str) -> "dict | None":
-        lo = _timed(f"scale_lo{tag}", run_worker, CORES_LO, SCALE_IMAGES,
-                    model=SCALE_MODEL, reps=2)
-        time.sleep(settle)
-        hi_c = _timed(f"scale_hi{tag}", run_worker, CPUS, SCALE_IMAGES,
-                      model=SCALE_MODEL, reps=2)
+        # a crashed worker must cost one attempt, never the whole artifact
+        try:
+            lo = _timed(f"scale_lo{tag}", run_worker, CORES_LO, SCALE_IMAGES,
+                        model=SCALE_MODEL, reps=2)
+            time.sleep(settle)
+            hi_c = _timed(f"scale_hi{tag}", run_worker, CPUS, SCALE_IMAGES,
+                          model=SCALE_MODEL, reps=2)
+        except Exception as e:  # noqa: BLE001
+            sys.stderr.write(f"[bench] scale pair{tag} failed: {e}\n")
+            return None
         time.sleep(settle)
         eff = hi_c["images_per_sec"] / (lo["images_per_sec"] * ratio)
         return {"lo": lo, "hi": hi_c, "efficiency": round(eff, 3)}
@@ -197,6 +202,8 @@ def main() -> None:
         if i > 0 and not in_budget(tail_reserve + hw_room):
             break
         att = scale_pair(f"[{i}]")
+        if att is None:
+            continue
         attempts.append(att)
         if best is None or att["efficiency"] > best["efficiency"]:
             best = att
@@ -209,14 +216,17 @@ def main() -> None:
     # multiprocessing pool (no Spark, no JVM) bounds what ANY engine could
     # scale on this shared-memory box. All four raw numbers must ship.
     hw_lo = hw_hi = None
-    if in_budget(query_reserve):  # may spend the headline reserve only if forced
-        hw_lo = _timed("hw_lo", run_worker, CORES_LO, SCALE_IMAGES, hw=True,
-                       model=SCALE_MODEL, reps=2)
-        time.sleep(settle)
-    if hw_lo and in_budget(query_reserve):
-        hw_hi = _timed("hw_hi", run_worker, CPUS, SCALE_IMAGES, hw=True,
-                       model=SCALE_MODEL, reps=2)
-        time.sleep(settle)
+    try:
+        if in_budget(query_reserve):  # may spend the headline reserve only if forced
+            hw_lo = _timed("hw_lo", run_worker, CORES_LO, SCALE_IMAGES, hw=True,
+                           model=SCALE_MODEL, reps=2)
+            time.sleep(settle)
+        if hw_lo and in_budget(query_reserve):
+            hw_hi = _timed("hw_hi", run_worker, CPUS, SCALE_IMAGES, hw=True,
+                           model=SCALE_MODEL, reps=2)
+            time.sleep(settle)
+    except Exception as e:  # noqa: BLE001 - hw pair is evidence, not the metric
+        sys.stderr.write(f"[bench] hw ceiling phase failed: {e}\n")
     # 4x cores delivering LESS absolute throughput than 1x is physically
     # nonsensical for a compute-bound kernel — a slowdown window hit one side
     if hw_lo and hw_hi and hw_hi["images_per_sec"] < hw_lo["images_per_sec"] \
@@ -231,7 +241,11 @@ def main() -> None:
     # ---- Phase 3: headline throughput (the metric's "value"), floor-retried:
     # a capture under the BASELINE.md band's low edge means a degraded window
     headline_floor = float(os.environ.get("BENCH_HEADLINE_FLOOR", "22000"))
-    hi = _timed("headline", run_worker, CPUS, N_IMAGES)
+    try:
+        hi = _timed("headline", run_worker, CPUS, N_IMAGES)
+    except Exception as e:  # noqa: BLE001 - the metric MUST ship: one blind retry
+        sys.stderr.write(f"[bench] headline worker failed ({e}); retrying once\n")
+        hi = _timed("headline_retry_after_crash", run_worker, CPUS, N_IMAGES)
     time.sleep(settle)
     if hi["images_per_sec"] < headline_floor and in_budget(query_reserve):
         hi = _better(hi, _timed("headline_retry", run_worker, CPUS, N_IMAGES))
@@ -265,6 +279,8 @@ def main() -> None:
         if not in_budget(hw_room + (200 if norm_met() else 0)):
             break
         att = scale_pair(f"[{len(attempts)}]")
+        if att is None:
+            break  # workers are failing — don't burn the tail reserves
         attempts.append(att)
         if best is None or att["efficiency"] > best["efficiency"]:
             best = att
