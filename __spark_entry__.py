@@ -1011,6 +1011,25 @@ def _q_caption_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _clean_stale_tmp(prefix: str, max_age_sec: int = 7200) -> None:
+    """Remove this query family's PREVIOUS temp artifacts (each invocation
+    needs a fresh dir — resume state must not leak between runs — but dead
+    ones would otherwise accumulate a full orders copy per bench/sweep run).
+    Age-gated so a concurrently running harness is never clobbered."""
+    import glob
+    import shutil
+    import tempfile
+    import time
+
+    now = time.time()
+    for d in glob.glob(os.path.join(tempfile.gettempdir(), prefix + "*")):
+        try:
+            if now - os.path.getmtime(d) > max_age_sec:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+
+
 def _q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 skip-if-done resume as a driver query (the reference's signature
     trick, ``base_extractor.py:95-127``): phase 1 checkpoints HALF the hash
@@ -1030,6 +1049,7 @@ def _q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_partition_id,
     )
 
+    _clean_stale_tmp("vfs_ckpt_resume_")
     orders = _read(spark, sf_dir, "orders")
     base = tempfile.mkdtemp(prefix="vfs_ckpt_resume_")
     num_parts = 64
@@ -1073,6 +1093,7 @@ def _q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the file stream source lists a DIRECTORY; driver testdata is one file —
     # link it into a temp dir (no data copy)
+    _clean_stale_tmp("vfs_stream_src_")
     src_dir = tempfile.mkdtemp(prefix="vfs_stream_src_")
     os.symlink(
         os.path.join(sf_dir, "events.parquet"),

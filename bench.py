@@ -57,6 +57,7 @@ signal.signal(signal.SIGINT, _die)
 def run_worker(
     cores: int, images: int, queries: bool = False, hw: bool = False,
     model: str = "clip-small-det", queries_only: bool = False, reps: int = 3,
+    timeout: int = 1800,
 ) -> dict:
     cmd = [
         sys.executable, os.path.join(REPO, "scripts", "bench_worker.py"),
@@ -93,7 +94,7 @@ def run_worker(
     )
     _ACTIVE_CHILD = proc
     try:
-        stdout, stderr = proc.communicate(timeout=1800)
+        stdout, stderr = proc.communicate(timeout=timeout)
     except (subprocess.TimeoutExpired, KeyboardInterrupt):
         os.killpg(proc.pid, signal.SIGKILL)
         raise
@@ -182,10 +183,10 @@ def main() -> None:
         # a crashed worker must cost one attempt, never the whole artifact
         try:
             lo = _timed(f"scale_lo{tag}", run_worker, CORES_LO, SCALE_IMAGES,
-                        model=SCALE_MODEL, reps=2)
+                        model=SCALE_MODEL, reps=2, timeout=420)
             time.sleep(settle)
             hi_c = _timed(f"scale_hi{tag}", run_worker, CPUS, SCALE_IMAGES,
-                          model=SCALE_MODEL, reps=2)
+                          model=SCALE_MODEL, reps=2, timeout=420)
         except Exception as e:  # noqa: BLE001
             sys.stderr.write(f"[bench] scale pair{tag} failed: {e}\n")
             return None
@@ -219,11 +220,11 @@ def main() -> None:
     try:
         if in_budget(query_reserve):  # may spend the headline reserve only if forced
             hw_lo = _timed("hw_lo", run_worker, CORES_LO, SCALE_IMAGES, hw=True,
-                           model=SCALE_MODEL, reps=2)
+                           model=SCALE_MODEL, reps=2, timeout=300)
             time.sleep(settle)
         if hw_lo and in_budget(query_reserve):
             hw_hi = _timed("hw_hi", run_worker, CPUS, SCALE_IMAGES, hw=True,
-                           model=SCALE_MODEL, reps=2)
+                           model=SCALE_MODEL, reps=2, timeout=300)
             time.sleep(settle)
     except Exception as e:  # noqa: BLE001 - hw pair is evidence, not the metric
         sys.stderr.write(f"[bench] hw ceiling phase failed: {e}\n")

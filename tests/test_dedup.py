@@ -283,3 +283,17 @@ def test_cc_star_equals_label_equals_union_find(spark, edges):
     }
     assert star == want
     assert label == want
+
+
+def test_cc_star_refuses_unconverged_output(spark):
+    """Exhausting max_iter before the star forest forms must raise, never
+    silently emit multi-parent rows (wrong dedup groups)."""
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    from video_features_spark.operators.dedup import connected_components
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1).collect()

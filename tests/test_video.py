@@ -146,3 +146,55 @@ def test_avi_rec_list_interleaving():
     wrapped = _chunk(b"RIFF", b"AVI " + hdr + _list(b"movi", rec))
     fps, out = demux_mjpeg_avi(wrapped)
     assert fps == 4.0 and out == frames
+
+
+def test_avi_multi_stream_fps_from_video_stream():
+    """fps must come from the VIDEO stream's strh even when an audio stream
+    is listed first (legal RIFF ordering), and the video codec check must
+    still fire — the first-strl shortcut read an audio sample rate as fps."""
+    import struct
+
+    from video_features_spark.functions.avi import _chunk, _list
+
+    rng = np.random.default_rng(9)
+    frames = [encode_jpeg(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))]
+    plain = encode_mjpeg_avi(frames, fps=4, width=32, height=32)
+
+    def strh(fcc, handler, scale, rate):
+        return _chunk(
+            b"strh",
+            fcc + handler
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, scale, rate, 0, 1, 0, 0, 0)
+            + struct.pack("<4h", 0, 0, 32, 32),
+        )
+
+    # rebuild hdrl: avih + [auds strl @ 44100] + [vids strl @ 4 fps]
+    hpos = plain.find(b"hdrl")
+    avih_start = hpos + 4
+    (avih_size,) = struct.unpack("<I", plain[avih_start + 4 : avih_start + 8])
+    avih = plain[avih_start : avih_start + 8 + avih_size]
+    mpos = plain.find(b"movi")
+    movi_list = plain[mpos - 8 :]
+    hdrl = _list(
+        b"hdrl",
+        avih
+        + _list(b"strl", strh(b"auds", b"\x00\x00\x00\x00", 1, 44100))
+        + _list(b"strl", strh(b"vids", b"MJPG", 1, 4)),
+    )
+    rebuilt = _chunk(b"RIFF", b"AVI " + hdrl + movi_list)
+    fps, out = demux_mjpeg_avi(rebuilt)
+    assert fps == 4.0 and out == frames  # not 44100
+    # and a foreign VIDEO codec is rejected even behind an audio stream
+    bad = _chunk(
+        b"RIFF",
+        b"AVI "
+        + _list(
+            b"hdrl",
+            avih
+            + _list(b"strl", strh(b"auds", b"\x00\x00\x00\x00", 1, 44100))
+            + _list(b"strl", strh(b"vids", b"H264", 1, 4)),
+        )
+        + movi_list,
+    )
+    with pytest.raises(ValueError, match="unsupported AVI codec"):
+        demux_mjpeg_avi(bad)

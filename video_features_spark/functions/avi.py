@@ -88,39 +88,17 @@ def _find_list(data: bytes, pos: int, end: int, kind: bytes):
     return None
 
 
-def has_ffmpeg() -> bool:
-    import shutil
-
-    return shutil.which("ffmpeg") is not None
+from ._ffmpeg import has_ffmpeg  # noqa: F401 - re-export (adapter seam API)
 
 
 def ffmpeg_to_mjpeg_avi(data: bytes) -> bytes:
     """Transcode any ffmpeg-supported video container/codec (H.264-mp4, VP9,
-    mpeg4-avi, ...) to MJPEG-in-AVI through an ffmpeg subprocess — the
-    executable adapter that makes ``demux_mjpeg_avi`` the single in-engine
-    seam (the audio twin is ``wav.ffmpeg_to_wav``; the reference shells out
-    to ffmpeg the same way, ``utils/utils.py:194-223``). Output via a temp
-    file: AVI headers need a seekable sink."""
-    import os
-    import subprocess
-    import tempfile
+    mpeg4-avi, ...) to MJPEG-in-AVI — the executable adapter that makes
+    ``demux_mjpeg_avi`` the single in-engine seam (the audio twin is
+    ``wav.ffmpeg_to_wav``). Shared scaffold: ``functions/_ffmpeg.transcode``."""
+    from ._ffmpeg import transcode
 
-    fd, path = tempfile.mkstemp(suffix=".avi")
-    os.close(fd)
-    try:
-        proc = subprocess.run(
-            ["ffmpeg", "-v", "error", "-i", "pipe:0",
-             "-c:v", "mjpeg", "-q:v", "2", "-an", "-f", "avi", "-y", path],
-            input=data, capture_output=True, timeout=300,
-        )
-        if proc.returncode != 0:
-            raise ValueError(
-                f"ffmpeg video transcode failed: {proc.stderr.decode(errors='replace')[-200:]}"
-            )
-        with open(path, "rb") as f:
-            return f.read()
-    finally:
-        os.unlink(path)
+    return transcode(data, ["-c:v", "mjpeg", "-q:v", "2", "-an", "-f", "avi"], ".avi", 300)
 
 
 def demux_video(data: bytes, allow_ffmpeg: bool = True) -> tuple[float, list[bytes]]:
@@ -146,23 +124,35 @@ def demux_mjpeg_avi(data: bytes) -> tuple[float, list[bytes]]:
     hdrl = _find_list(data, top, end, b"hdrl")
     if hdrl is None:
         raise ValueError("corrupt AVI: no hdrl")
+    # walk EVERY strl (multi-stream AVIs list audio/video streams in any
+    # order): fps must come from the VIDEO stream's strh, and its codec must
+    # be validated — taking the first strl would read an audio sample rate as
+    # fps and skip the MJPG check entirely
     fps = None
-    strl = _find_list(data, hdrl[0], hdrl[1], b"strl")
-    if strl is not None:
-        for tag, b, e in _iter_chunks(data, strl[0], strl[1]):
-            if tag == b"strh":
-                if e - b < 28:
-                    raise ValueError("corrupt AVI: short strh")
-                fcc_type, handler = data[b : b + 4], data[b + 4 : b + 8]
-                if fcc_type == b"vids" and handler not in (_MJPG, b"mjpg"):
-                    raise ValueError(
-                        f"unsupported AVI codec {handler!r}: only MJPG decodes "
-                        "in-process; for other codecs run an ffmpeg mapInPandas "
-                        "adapter that re-wraps frames upstream (see module doc)"
-                    )
-                scale, rate = struct.unpack("<II", data[b + 20 : b + 28])
-                if scale and rate:
-                    fps = rate / scale
+    saw_video = False
+    for tag, b, e in _iter_chunks(data, hdrl[0], hdrl[1]):
+        if tag != b"LIST" or data[b : b + 4] != b"strl":
+            continue
+        for t2, b2, e2 in _iter_chunks(data, b + 4, e):
+            if t2 != b"strh":
+                continue
+            if e2 - b2 < 28:
+                raise ValueError("corrupt AVI: short strh")
+            fcc_type, handler = data[b2 : b2 + 4], data[b2 + 4 : b2 + 8]
+            if fcc_type != b"vids":
+                continue
+            saw_video = True
+            if handler not in (_MJPG, b"mjpg"):
+                raise ValueError(
+                    f"unsupported AVI codec {handler!r}: only MJPG decodes "
+                    "in-process; for other codecs run an ffmpeg mapInPandas "
+                    "adapter that re-wraps frames upstream (see module doc)"
+                )
+            scale, rate = struct.unpack("<II", data[b2 + 20 : b2 + 28])
+            if scale and rate:
+                fps = rate / scale
+    if not saw_video:
+        raise ValueError("corrupt AVI: no video stream in hdrl")
     if fps is None:
         for tag, b, e in _iter_chunks(data, hdrl[0], hdrl[1]):
             if tag == b"avih":

@@ -185,7 +185,9 @@ class _Vocab:
     def bpe_word(self, token: str) -> tuple[str, ...]:
         hit = self._words.get(token)
         if hit is None:
-            hit = self._words[token] = _merge_word(token, self.merges)
+            if len(self._words) >= 65536:  # same bound as the default path's
+                self._words.clear()        # lru_cache; high-card text must
+            hit = self._words[token] = _merge_word(token, self.merges)  # not OOM executors
         return hit
 
 

@@ -193,40 +193,19 @@ def encode_mp4_pcm(samples: np.ndarray, sample_rate: int = SAMPLE_RATE) -> bytes
     return ftyp + moov + box(b"mdat", x.tobytes())
 
 
-def has_ffmpeg() -> bool:
-    import shutil
-
-    return shutil.which("ffmpeg") is not None
+from ._ffmpeg import has_ffmpeg  # noqa: F401 - re-export (adapter seam API)
 
 
 def ffmpeg_to_wav(data: bytes) -> bytes:
     """Transcode any ffmpeg-supported compressed audio (or A/V container) to
-    RIFF/WAVE PCM16 through an ffmpeg subprocess — the EXECUTABLE form of the
-    adapter recipe in ``demux_mp4_pcm``'s docstring (the reference shells out
-    the same way: ``/root/reference/utils/utils.py:194-223``, mp4→aac→wav).
-    Output goes via a temp file, not a stdout pipe: ffmpeg can't seek a pipe
-    and would leave WAV size fields unset. Per-row subprocess cost is
-    inherent to compressed decode; the reference pays it per file too."""
-    import os
-    import subprocess
-    import tempfile
+    RIFF/WAVE PCM16 — the EXECUTABLE form of the adapter recipe in
+    ``demux_mp4_pcm``'s docstring (the reference shells out the same way:
+    ``/root/reference/utils/utils.py:194-223``, mp4→aac→wav). Per-row
+    subprocess cost is inherent to compressed decode; the reference pays it
+    per file too. Shared scaffold: ``functions/_ffmpeg.transcode``."""
+    from ._ffmpeg import transcode
 
-    fd, path = tempfile.mkstemp(suffix=".wav")
-    os.close(fd)
-    try:
-        proc = subprocess.run(
-            ["ffmpeg", "-v", "error", "-i", "pipe:0",
-             "-acodec", "pcm_s16le", "-f", "wav", "-y", path],
-            input=data, capture_output=True, timeout=120,
-        )
-        if proc.returncode != 0:
-            raise ValueError(
-                f"ffmpeg transcode failed: {proc.stderr.decode(errors='replace')[-200:]}"
-            )
-        with open(path, "rb") as f:
-            return f.read()
-    finally:
-        os.unlink(path)
+    return transcode(data, ["-acodec", "pcm_s16le", "-f", "wav"], ".wav", 120)
 
 
 def demux_audio(data: bytes, allow_ffmpeg: bool = True) -> tuple[np.ndarray, int]:

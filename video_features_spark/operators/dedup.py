@@ -403,6 +403,17 @@ def _cc_alternating_stars(
         # alone — skip the probe there to save two jobs
         if rnd > 0 and not _not_star_forest(edges):
             break
+    else:
+        # max_iter exhausted without a probe success: verify once, and FAIL
+        # LOUDLY if the forest didn't form — an unconverged edge set would
+        # fan the final join out to multiple conflicting rows per node
+        # (silently wrong dedup groups). O(log² n) convergence means hitting
+        # this indicates a bug or an absurd max_iter, not a big graph.
+        if _not_star_forest(edges):
+            raise RuntimeError(
+                f"connected_components(star) did not converge in {max_iter} "
+                "rounds; raise max_iter or use algorithm='label'"
+            )
     return nodes.join(
         edges.select(F.col("src").alias("id"), F.col("dst").alias("component")),
         "id",

@@ -60,6 +60,10 @@ def _content_checksum(cols: Sequence[str]):
 
 def load_manifest(spark: SparkSession, base_path: str) -> DataFrame | None:
     path = _manifest_path(base_path)
+    if not os.path.exists(path) and os.path.exists(path + ".__compact_old"):
+        # a compaction crashed between its two renames — restore before
+        # reading, or resume would recompute EVERY partition
+        _recover_compaction(base_path)
     try:
         return spark.read.parquet(path)
     except Exception:  # noqa: BLE001 - first run: no manifest yet
@@ -158,6 +162,7 @@ def compact_manifest(spark: SparkSession, base_path: str) -> dict:
 
     from pyspark.sql import Window
 
+    _recover_compaction(base_path)
     manifest = load_manifest(spark, base_path)
     if manifest is None:
         raise FileNotFoundError(f"no manifest under {base_path}")
@@ -176,6 +181,23 @@ def compact_manifest(spark: SparkSession, base_path: str) -> dict:
     os.rename(tmp, _manifest_path(base_path))
     shutil.rmtree(old)
     return {"rows_before": before, "rows_after": after}
+
+
+def _recover_compaction(base_path: str) -> None:
+    """Self-heal a compaction that crashed mid-swap: if the manifest dir is
+    gone but ``.__compact_old`` survives, the crash fell between the two
+    renames — restore the old manifest (conservative; its rows describe the
+    same completed partitions). Stale tmp/old leftovers next to a live
+    manifest are removed so a wedged state can't block the next compaction."""
+    import shutil
+
+    path = _manifest_path(base_path)
+    tmp, old = path + ".__compact_tmp", path + ".__compact_old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
 
 
 def verify_manifest(spark: SparkSession, base_path: str) -> DataFrame:
