@@ -297,3 +297,22 @@ def test_cc_star_refuses_unconverged_output(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=1).collect()
+
+
+def test_jaccard_on_pairs_keeps_zero_shingle_docs(spark):
+    """ADVICE r03: a candidate pair whose doc is SHORTER than shingle_n has
+    no shingle/size rows — with threshold=0.0 it must still appear, at
+    jaccard 0.0 (incl. the empty-∪-empty 0/0 case)."""
+    from video_features_spark.operators.dedup import jaccard_on_pairs, shingle_table
+
+    docs = spark.createDataFrame(
+        [("a", "tiny"), ("b", "this one is long enough to shingle"), ("c", "x")],
+        "doc_id string, text string",
+    )
+    sh = shingle_table(docs, "doc_id", "text", 5)
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "id_a string, id_b string"
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in jaccard_on_pairs(sh, pairs, "doc_id", threshold=0.0).collect()}
+    assert got == {("a", "b"): 0.0, ("a", "c"): 0.0}

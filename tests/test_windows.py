@@ -165,3 +165,18 @@ def test_percentile_agg_operator(spark, sf_dir):
         vals = np.array([x["l_quantity"] for x in li.filter(f"l_returnflag = '{flag}'").collect()])
         assert r["n_rows"] == len(vals)
         assert abs(r["p50"] - np.percentile(vals, 50, method="linear")) < 1e-9
+
+
+def test_rolling_range_agg_rejects_fractional_seconds(spark):
+    """ADVICE r03: -int(0.5) would silently build a 0-width frame — the
+    operator must reject non-integral range_seconds instead."""
+    import pytest as _pytest
+
+    from video_features_spark.operators.windows import rolling_range_agg
+
+    ev = spark.createDataFrame(
+        [(1, "u", "2024-01-01 00:00:00", 1.0)],
+        "event_id long, user_id string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with _pytest.raises(ValueError, match="whole number"):
+        rolling_range_agg(ev, ["user_id"], "ts", 0.5, "value")
