@@ -198,3 +198,50 @@ def test_avi_multi_stream_fps_from_video_stream():
     )
     with pytest.raises(ValueError, match="unsupported AVI codec"):
         demux_mjpeg_avi(bad)
+
+
+def test_total_mode_samples_evenly(spark, videos):
+    """The reference's fixed-frame-count mode (utils/io.py:83-88): exactly
+    `total` evenly-spaced frames per clip, first frame kept, original
+    indices preserved (frame_ts stays true event time); short clips emit
+    everything."""
+    frames = extract_video_frames(videos, total=3).cache()
+    per_clip = {
+        r["video_id"]: r["n"]
+        for r in frames.groupBy("video_id").agg(F.count("*").alias("n")).collect()
+    }
+    meta = {r["video_id"]: r["n_frames"] for r in videos.collect()}
+    assert per_clip == {v: min(3, meta[v]) for v in meta}
+    # first and last container frames are always in the sample
+    idx = {
+        r["video_id"]: sorted(r["idxs"])
+        for r in frames.groupBy("video_id")
+        .agg(F.collect_list("frame_idx").alias("idxs"))
+        .collect()
+    }
+    for v, ids in idx.items():
+        assert ids[0] == 0 and ids[-1] == meta[v] - 1
+    with pytest.raises(ValueError, match="total"):
+        extract_video_frames(videos, total=0)
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@given(
+    n_frames=st.integers(1, 6),
+    fps=st.integers(1, 60),
+    w=st.integers(8, 24),
+    h=st.integers(8, 24),
+)
+@settings(max_examples=20, deadline=None)
+def test_avi_roundtrip_property(n_frames, fps, w, h):
+    """Container property gate: any frame count / fps / geometry roundtrips
+    bit-exactly (the WAV codec has the same gate)."""
+    rng = np.random.default_rng(n_frames * 1000 + fps)
+    frames = [
+        encode_jpeg(rng.integers(0, 255, (h, w, 3), dtype=np.uint8))
+        for _ in range(n_frames)
+    ]
+    got_fps, out = demux_mjpeg_avi(encode_mjpeg_avi(frames, fps, w, h))
+    assert got_fps == float(fps) and out == frames

@@ -29,12 +29,23 @@ def extract_video_frames(
     video_col: str = "video",
     id_cols: Sequence[str] = ("video_id", "entity_id"),
     ts_col: str = "ts",
+    total: int | None = None,
 ) -> DataFrame:
     """(id cols, clip ts, AVI bytes) → one row per frame:
     (id cols, frame_idx, frame_ts = clip ts + idx/fps, bytes, fmt, error).
 
+    ``total``: extract exactly ``total`` evenly-spaced frames per clip — the
+    reference's fixed-frame-count mode (``utils/io.py:83-88`` re-encodes to
+    ``fps' = total·fps/num_frames``; here it's a per-row index selection, a
+    filter instead of a subprocess). frame_idx keeps the ORIGINAL container
+    index so frame_ts stays true event time. Clips with fewer frames than
+    ``total`` emit all their frames. The fps-resampling mode (S4) composes
+    downstream via ``operators.windows.resample`` over ``frame_ts``.
+
     Corrupt/unsupported containers emit a single quarantine row (null
     frame_idx, the error string) so no input disappears silently."""
+    if total is not None and total < 1:
+        raise ValueError(f"total must be >= 1, got {total}")
     id_cols = list(id_cols)
     schema_id = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in id_cols)
     out_schema = (
@@ -51,10 +62,18 @@ def extract_video_frames(
                 ts0 = b[ts_col].iloc[i]
                 try:
                     fps, frames = demux_video(bytes(b[video_col].iloc[i]))
-                    for j, payload in enumerate(frames):
+                    if total is not None and len(frames) > total:
+                        # evenly-spaced original indices (first frame kept)
+                        keep = [
+                            round(k * (len(frames) - 1) / (total - 1)) if total > 1 else 0
+                            for k in range(total)
+                        ]
+                    else:
+                        keep = range(len(frames))
+                    for j in keep:
                         rows.append(
                             (*ids, j, ts0 + pd.Timedelta(seconds=j / fps),
-                             bytearray(payload), "jpg", None)
+                             bytearray(frames[j]), "jpg", None)
                         )
                 except Exception as e:  # noqa: BLE001 - quarantine, don't die
                     rows.append((*ids, None, None, None, None, f"{type(e).__name__}: {e}"))
