@@ -175,3 +175,27 @@ def test_pair_flow_field_dense_grid(spark, images):
     assert np.abs(zero).max() == 0.0
     with pytest.raises(ValueError):
         pair_flow_field(a[:4, :4], b)  # smaller than the grid
+
+
+def test_flow_visualization_colorwheel_semantics():
+    """Published Baker et al. wheel semantics (the reference renders RAFT
+    fields with the same spec, utils/flow_viz.py): 55 hues anchored at pure
+    R/G/B at the segment boundaries; zero motion renders white; direction
+    changes hue; magnitude saturates; output deterministic uint8."""
+    from video_features_spark.functions.flow import flow_colorwheel, flow_to_rgb
+
+    w = flow_colorwheel()
+    assert w.shape == (55, 3) and w.min() >= 0.0 and w.max() <= 1.0
+    assert (w[0] == [1, 0, 0]).all()      # RY start: pure red
+    assert (w[21] == [0, 1, 0]).all()     # GC start: pure green
+    assert (w[36] == [0, 0, 1]).all()     # BM start: pure blue
+
+    zero = flow_to_rgb(np.zeros((2, 5, 5)))
+    assert zero.dtype == np.uint8 and (zero == 255).all()
+    right = np.zeros((2, 3, 3)); right[0] += 1.0
+    up = np.zeros((2, 3, 3)); up[1] += 1.0
+    r_img, u_img = flow_to_rgb(right), flow_to_rgb(up)
+    assert not (r_img == u_img).all()     # direction changes hue
+    assert (flow_to_rgb(right) == r_img).all()  # deterministic
+    half = flow_to_rgb(right * 0.5, max_mag=1.0)
+    assert half.mean() > r_img.mean()     # lower magnitude -> closer to white

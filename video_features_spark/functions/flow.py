@@ -57,3 +57,49 @@ def pair_flow_field(
     u = -it * gx / denom
     v = -it * gy / denom
     return np.stack([u, v]).astype(np.float32)
+
+
+def flow_colorwheel() -> np.ndarray:
+    """The published optical-flow color wheel (Baker et al., "A Database and
+    Evaluation Methodology for Optical Flow", ICCV'07): 55 hues in six ramp
+    segments RY/YG/GC/CB/BM/MR of sizes 15/6/4/11/13/6. Independent
+    implementation of the published spec — the reference ships Tom Runia's
+    MIT version of the same wheel (``utils/flow_viz.py``), not copied here.
+    Returns (55, 3) float64 in [0, 1]."""
+    segs = ((15, 0, 1), (6, 1, 0), (4, 1, 2), (11, 2, 1), (13, 2, 0), (6, 0, 2))
+    rows = []
+    for n, hold, ramp in segs:
+        block = np.zeros((n, 3))
+        block[:, hold] = 1.0
+        block[:, ramp] = np.arange(n) / n
+        rows.append(block)
+    wheel = np.concatenate(rows)
+    # ramp direction alternates: odd segments fade the PREVIOUS hold channel
+    for si, (n, hold, ramp) in enumerate(segs):
+        if si % 2 == 1:
+            start = sum(s[0] for s in segs[:si])
+            wheel[start : start + n, ramp] = 1.0 - np.arange(n) / n
+            wheel[start : start + n, hold] = 1.0
+    return wheel
+
+
+def flow_to_rgb(flow: np.ndarray, max_mag: float | None = None) -> np.ndarray:
+    """(2, H, W) flow field → (H, W, 3) uint8 visualization with the
+    published angle→hue, magnitude→saturation mapping (the semantics of the
+    reference's ``flow_viz.flow_to_image``): zero motion renders white,
+    direction picks the wheel hue, saturation grows with magnitude
+    (normalized by ``max_mag`` or the field's own max)."""
+    u, v = np.asarray(flow[0], np.float64), np.asarray(flow[1], np.float64)
+    mag = np.sqrt(u * u + v * v)
+    denom = max_mag if max_mag else max(float(mag.max()), 1e-9)
+    rad = np.clip(mag / denom, 0.0, 1.0)
+    wheel = flow_colorwheel()
+    ncols = len(wheel)
+    ang = np.arctan2(-v, -u) / np.pi           # [-1, 1]
+    fk = (ang + 1.0) / 2.0 * (ncols - 1)
+    k0 = np.floor(fk).astype(int) % ncols
+    k1 = (k0 + 1) % ncols
+    f = (fk - np.floor(fk))[..., None]
+    col = (1.0 - f) * wheel[k0] + f * wheel[k1]
+    col = 1.0 - rad[..., None] * (1.0 - col)   # desaturate toward white at 0
+    return np.clip(col * 255.0 + 0.5, 0, 255).astype(np.uint8)
