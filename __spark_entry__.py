@@ -1046,6 +1046,7 @@ def _q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         PART_COL,
         checkpointed_write,
         read_checkpointed,
+        verify_manifest,
         with_partition_id,
     )
 
@@ -1060,6 +1061,9 @@ def _q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     checkpointed_write(half, base, ["o_orderkey"], num_parts)
     stats = checkpointed_write(orders, base, ["o_orderkey"], num_parts)
+    # the reference's "loads without error" half (base_extractor.py:102-118):
+    # recount + re-checksum every partition against its latest manifest row
+    drift = verify_manifest(spark, base).count()
     return (
         read_checkpointed(spark, base)
         .agg(
@@ -1070,6 +1074,7 @@ def _q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(stats["parts_total"]).alias("parts_total"),
             F.lit(stats["parts_skipped"]).alias("parts_skipped"),
             F.lit(stats["parts_written"]).alias("parts_resumed"),
+            F.lit(drift).alias("drift_rows"),
             "rows_total",
             "sum_totalprice",
         )
@@ -1983,7 +1988,7 @@ def _checkpoint_resume_oracle() -> str:
     resumed = len(parts) - skipped
     return f"""
         SELECT {num_parts}::INT AS parts_total, {skipped}::INT AS parts_skipped,
-               {resumed}::INT AS parts_resumed,
+               {resumed}::INT AS parts_resumed, 0::INT AS drift_rows,
                count(*) AS rows_total, sum(o_totalprice) AS sum_totalprice
         FROM orders
     """
