@@ -1,6 +1,8 @@
 """Local mirror of the driver's correctness gate: run every queries() entry on
 Spark and its oracle_sql() on DuckDB, compare row count + sorted-column values
-(floats via allclose). Usage: python scripts/check_correctness.py [sf_dir]."""
+(floats via allclose). Usage: python scripts/check_correctness.py [sf_dir]
+[query_name ...] — extra args restrict the sweep to those queries (iteration
+aid; the gate run passes none)."""
 
 from __future__ import annotations
 
@@ -50,7 +52,7 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     return None
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import os
 
     # data-dependent oracles (IVF centroid literals) must be generated from
@@ -63,6 +65,12 @@ def main(sf_dir: str) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        unknown = set(only) - set(qs)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 1
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         t0 = time.time()
@@ -83,12 +91,16 @@ def main(sf_dir: str) -> int:
         else:
             print(f"ok    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
 
-    t0 = time.time()
-    edf = entrymod.entry(spark)
-    print(f"entry: {edf.count()} rows [{time.time()-t0:.1f}s]")
+    if not only:
+        t0 = time.time()
+        edf = entrymod.entry(spark)
+        print(f"entry: {edf.count()} rows [{time.time()-t0:.1f}s]")
     spark.stop()
     return failures
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
+    sys.exit(main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001",
+        sys.argv[2:] or None,
+    ))

@@ -131,3 +131,65 @@ def test_external_vocab_seam_end_to_end(spark):
         assert len(ids_spark) > len(ids_default)
     finally:
         unregister_vocab()
+
+
+def test_external_vocab_clip_layout_and_merge_cap(tmp_path):
+    """Registered vocabs must reproduce the REFERENCE's encoder exactly
+    (simple_tokenizer.py:62-74): merges sliced at 49152-256-2 = 48894, ids
+    0-based with byte symbols first (construction order, not sorted), then
+    their </w> variants, then merges in rank order, then SOT/EOT."""
+    import gzip
+    import hashlib
+
+    from video_features_spark.functions.bpe import (
+        CLIP_MAX_MERGES,
+        EOT,
+        SOT,
+        _vocab_for,
+        bytes_to_unicode,
+        use_local_vocab_file,
+    )
+
+    assert CLIP_MAX_MERGES == 48894
+    # a file with MORE lines than the cap: pad with unreachable junk merges
+    real = ["c a", "ca t</w>"]
+    junk = [f"x{i} y{i}" for i in range(CLIP_MAX_MERGES + 10)]
+    body = "#version: cap-test\n" + "\n".join(real + junk)
+    path = tmp_path / "cap_vocab.txt.gz"
+    path.write_bytes(gzip.compress(body.encode()))
+    digest = hashlib.sha256(path.read_bytes()).hexdigest()
+    use_local_vocab_file("cap_vocab.txt.gz", str(path))
+    v = _vocab_for(("cap_vocab.txt.gz", digest))
+    assert len(v.merges) == CLIP_MAX_MERGES  # parsed exactly the CLIP slice
+    assert ("c", "a") in v.merges and v.merges[("c", "a")] == 0
+    # CLIP id layout: byte alphabet in construction order at 0..255,
+    # word-final variants at 256..511, merges from 512, specials last
+    b2u = list(bytes_to_unicode().values())
+    enc = v.encoder
+    assert enc[b2u[0]] == 0 and enc[b2u[255]] == 255
+    assert enc[b2u[0] + "</w>"] == 256
+    assert enc["ca"] == 512  # rank-0 merge
+    assert enc[SOT] == len(enc) - 2 and enc[EOT] == len(enc) - 1
+
+
+def test_write_fixture_vocab_reference_format_roundtrip(tmp_path):
+    """The fixture writer emits the reference file format deterministically;
+    loading it back through the external-vocab parser yields the SAME merge
+    table the library trained (only the id layout differs)."""
+    import hashlib
+
+    from video_features_spark.functions.bpe import (
+        _merges,
+        _vocab_for,
+        use_local_vocab_file,
+        write_fixture_vocab,
+    )
+
+    p1, p2 = tmp_path / "v1.txt.gz", tmp_path / "v2.txt.gz"
+    write_fixture_vocab(str(p1))
+    write_fixture_vocab(str(p2))
+    assert p1.read_bytes() == p2.read_bytes()  # byte-reproducible (pin-stable)
+    digest = hashlib.sha256(p1.read_bytes()).hexdigest()
+    use_local_vocab_file("v1.txt.gz", str(p1))
+    v = _vocab_for(("v1.txt.gz", digest))
+    assert v.merges == _merges()

@@ -166,3 +166,64 @@ def test_compaction_crash_recovery(spark, base):
     assert again["parts_skipped"] == 4 and again["parts_written"] == 0  # healed
     stats = compact_manifest(spark, base)  # leftover must not wedge it
     assert stats["rows_after"] == 4
+
+
+def test_compaction_generation_pointer_protocol(spark, base):
+    """Pointer-based compaction (object-store-safe: NO directory rename):
+    each compaction writes a fresh _manifest.g<N> dir then atomically flips
+    the one-line _manifest.ptr file; appends land in the current generation;
+    superseded generations are removed by the compactor only."""
+    import os
+
+    from video_features_spark.sources import checkpoint as C
+
+    df1 = spark.range(100).withColumn("k", F.col("id") % 10).withColumn("v", F.lit(1))
+    checkpointed_write(df1, base, ["k"], num_parts=4, snapshot_id="snap-1")
+    s1 = C.compact_manifest(spark, base)
+    assert s1["generation"] == 0 and s1["rows_after"] == 4
+    assert C._current_generation(base) == 0
+    assert not os.path.exists(C._manifest_path(base))  # legacy dir retired
+    # appends now land in the generation dir; verify + resume stay exact
+    df2 = spark.range(100).withColumn("k", F.col("id") % 10).withColumn("v", F.lit(2))
+    checkpointed_write(df2, base, ["k"], num_parts=4, snapshot_id="snap-2")
+    assert verify_manifest(spark, base).count() == 0
+    s2 = C.compact_manifest(spark, base)
+    assert s2["generation"] == 1 and s2["rows_after"] == 4
+    assert not os.path.exists(C._gen_dir(base, 0))  # superseded gen removed
+    again = checkpointed_write(df2, base, ["k"], num_parts=4, snapshot_id="snap-2")
+    assert again["parts_skipped"] == 4 and again["parts_written"] == 0
+
+
+def test_compaction_crash_before_flip_reader_safe(spark, base, monkeypatch):
+    """Simulated non-atomic swap window: the compactor dies AFTER writing the
+    new generation dir but BEFORE flipping the pointer. A racing reader must
+    see the old, complete manifest and must NOT delete the orphan dir (the
+    r4 rename protocol failed exactly here); the next compaction absorbs the
+    orphan and resume stays exact."""
+    import os
+
+    from video_features_spark.sources import checkpoint as C
+
+    df = spark.range(100).withColumn("k", F.col("id") % 10).withColumn("v", F.lit(1))
+    checkpointed_write(df, base, ["k"], num_parts=4)
+    C.compact_manifest(spark, base)  # generation 0
+    monkeypatch.setattr(
+        C, "_flip_pointer",
+        lambda *a: (_ for _ in ()).throw(RuntimeError("crash before flip")),
+    )
+    with pytest.raises(RuntimeError, match="crash before flip"):
+        C.compact_manifest(spark, base)
+    monkeypatch.undo()
+    # mid-window state: orphan gen-1 dir, pointer still names gen 0
+    assert os.path.exists(C._gen_dir(base, 1))
+    assert C._current_generation(base) == 0
+    # reader in the window: complete manifest, orphan untouched
+    m = C.load_manifest(spark, base)
+    assert m is not None and m.count() == 4
+    assert os.path.exists(C._gen_dir(base, 1))
+    # next compaction overwrites the orphan and completes the flip
+    s = C.compact_manifest(spark, base)
+    assert s["generation"] == 1
+    again = checkpointed_write(df, base, ["k"], num_parts=4)
+    assert again["parts_skipped"] == 4 and again["parts_written"] == 0
+    assert verify_manifest(spark, base).count() == 0

@@ -245,3 +245,77 @@ def test_avi_roundtrip_property(n_frames, fps, w, h):
     ]
     got_fps, out = demux_mjpeg_avi(encode_mjpeg_avi(frames, fps, w, h))
     assert got_fps == float(fps) and out == frames
+
+
+def _valid_avi(seed: int, n_frames: int = 3) -> bytes:
+    rng = np.random.default_rng(seed)
+    frames = [
+        encode_jpeg(rng.integers(0, 255, (12, 16, 3), dtype=np.uint8))
+        for _ in range(n_frames)
+    ]
+    return encode_mjpeg_avi(frames, 10, 16, 12)
+
+
+@given(data=st.data())
+@settings(max_examples=120, deadline=None)
+def test_avi_fuzz_adversarial_containers_raise_cleanly(data):
+    """Adversarial-container gate: ANY truncation or byte mutation of a valid
+    AVI either still demuxes or raises a plain ``Exception`` subclass — never
+    a BaseException the operator's quarantine (``video.py:78-79``) wouldn't
+    catch, never a MemoryError from trusting a corrupt size field, never a
+    hang. This is the S10 error-isolation contract at the container parser."""
+    from video_features_spark.functions.avi import demux_video
+
+    blob = bytearray(_valid_avi(data.draw(st.integers(0, 7))))
+    mode = data.draw(st.sampled_from(["truncate", "mutate", "both"]))
+    if mode in ("truncate", "both"):
+        blob = blob[: data.draw(st.integers(0, len(blob)))]
+    if mode in ("mutate", "both") and len(blob):
+        for _ in range(data.draw(st.integers(1, 4))):
+            pos = data.draw(st.integers(0, len(blob) - 1))
+            blob[pos] = data.draw(st.integers(0, 255))
+    try:
+        fps, frames = demux_video(bytes(blob))
+    except Exception:
+        pass  # quarantine path: any Exception subclass is caught upstream
+    except BaseException as e:  # noqa: BLE001
+        raise AssertionError(
+            f"demux raised a non-Exception {type(e).__name__}: the operator "
+            "quarantine would not catch it"
+        ) from e
+    else:
+        assert fps > 0
+        assert all(isinstance(f, bytes) for f in frames)
+
+
+def test_fuzzed_batch_quarantines_end_to_end(spark):
+    """The same adversarial containers THROUGH ``extract_video_frames``:
+    every input row must surface either as ≥1 decoded-frame row or as exactly
+    one quarantine row — no input disappears, no task dies."""
+    import pandas as pd
+
+    from video_features_spark.operators.video import extract_video_frames
+
+    rng = np.random.default_rng(99)
+    rows = []
+    for i in range(10):
+        blob = bytearray(_valid_avi(i))
+        if i % 3 == 1:
+            blob = blob[: rng.integers(0, len(blob))]  # truncation
+        elif i % 3 == 2:
+            for _ in range(3):
+                blob[rng.integers(0, len(blob))] = rng.integers(0, 256)  # bitrot
+        rows.append(
+            (f"v{i}", f"e{i % 2}", pd.Timestamp("2026-01-01").to_pydatetime(), bytes(blob))
+        )
+    df = spark.createDataFrame(
+        rows, "video_id string, entity_id string, ts timestamp, video binary"
+    )
+    out = extract_video_frames(df).toPandas()
+    for i in range(10):
+        mine = out[out.video_id == f"v{i}"]
+        bad = mine[mine.error.notna()]
+        ok = mine[mine.error.isna()]
+        assert (len(bad) == 1 and len(ok) == 0) or (len(bad) == 0 and len(ok) >= 1), (
+            f"v{i}: {len(ok)} ok rows, {len(bad)} quarantine rows"
+        )

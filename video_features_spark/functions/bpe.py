@@ -10,7 +10,10 @@ its vocabulary: the reference ships a 16 MB gzip merge table
 table is *trained deterministically* at first use from a seeded corpus (classic
 BPE training: repeatedly merge the most frequent adjacent pair; ties broken
 lexicographically, so the table is reproducible bit-for-bit on every executor).
-Swapping in the real CLIP vocabulary is a one-function change (``_merges``).
+The real CLIP vocabulary drops in via ``register_vocab`` (SparkFiles + SHA256):
+registered files are parsed with the reference's own slice (``CLIP_MAX_MERGES``)
+and encoded with the reference's 0-based id layout, so the real file reproduces
+CLIP token ids exactly; ``write_fixture_vocab`` emits a same-format fixture.
 
 Tokenization is per-row CPU work with no cross-row state — exactly the shape
 for an Arrow-batched pandas UDF; the vocab is built once per executor process
@@ -140,6 +143,18 @@ def vocab_size() -> int:
 # executors resolve the file locally via SparkFiles.get and verify the digest.
 _VOCAB_PIN: "tuple[str, str] | None" = None
 
+# the reference tokenizer loads bpe_simple_vocab_16e6.txt.gz and slices
+# merges[1:49152-256-2+1] (simple_tokenizer.py:62-66): 48894 merges, chosen so
+# 256 byte tokens + 256 `</w>` byte tokens + merges + 2 specials = 49152 ids.
+# External vocabs are capped at the same count so registering the real file
+# yields the reference's exact merge table (not 49152+ extras past the slice).
+CLIP_MAX_MERGES = 49152 - 256 - 2
+
+# driver-local file resolution for registered vocabs: register_vocab records
+# the absolute path here so driver-side tokenize (oracles, tests) never
+# depends on SparkFiles; executors fall through to SparkFiles.get.
+_LOCAL_VOCAB_PATHS: dict[str, str] = {}
+
 
 def register_vocab(spark, path: str, sha256: str | None = None) -> str:
     """Distribute a REAL merge table (the reference ships
@@ -148,9 +163,13 @@ def register_vocab(spark, path: str, sha256: str | None = None) -> str:
     same distribution/integrity mechanism as the model weights
     (``embed.register_checkpoint``, ``clip_src/clip.py:45-74`` analog). File
     format: optional gzip; first line a version header; then one space-
-    separated merge pair per line in rank order. After registering, token IDS
-    match the external vocabulary; without it the deterministic trained table
-    applies (algorithm identical either way)."""
+    separated merge pair per line in rank order, capped at ``CLIP_MAX_MERGES``
+    (the reference's own slice). Registered vocabularies use the reference's
+    0-based encoder layout (bytes, then ``</w>`` bytes, then merges, then the
+    two specials — ``simple_tokenizer.py:67-74``), so registering the real
+    ``bpe_simple_vocab_16e6.txt.gz`` reproduces the reference's token ids
+    exactly; without a registration the deterministic trained table applies
+    (same merge ALGORITHM, library-private id layout)."""
     import hashlib
     import os
 
@@ -160,8 +179,18 @@ def register_vocab(spark, path: str, sha256: str | None = None) -> str:
     if sha256 is not None and digest != sha256:
         raise ValueError(f"vocab {path}: sha256 {digest} != expected {sha256}")
     spark.sparkContext.addFile(path)
+    _LOCAL_VOCAB_PATHS[os.path.basename(path)] = os.path.abspath(path)
     _VOCAB_PIN = (os.path.basename(path), digest)
     return digest
+
+
+def use_local_vocab_file(filename: str, path: str) -> None:
+    """Resolve ``filename`` to a local path instead of SparkFiles — the seam
+    oracle/test processes (no SparkContext) use to run the registered-vocab
+    code path on a file they wrote themselves."""
+    import os
+
+    _LOCAL_VOCAB_PATHS[filename] = os.path.abspath(path)
 
 
 def unregister_vocab() -> None:
@@ -173,13 +202,29 @@ def current_vocab_pin() -> "tuple[str, str] | None":
     return _VOCAB_PIN
 
 
+def _build_encoder_clip(merges: dict[tuple[str, str], int]) -> dict[str, int]:
+    """The REFERENCE's encoder layout (simple_tokenizer.py:67-74), 0-based:
+    256 byte symbols in byte→unicode construction order, then their ``</w>``
+    variants, then merged tokens in rank order, then SOT and EOT. With the
+    real merges file this reproduces CLIP's token ids bit-for-bit (id 0 is
+    ``'!'``; zero-padding matches CLIP's ``torch.zeros`` framing)."""
+    vocab = list(bytes_to_unicode().values())
+    vocab = vocab + [v + "</w>" for v in vocab]
+    for (a, b) in sorted(merges, key=merges.get):
+        vocab.append(a + b)
+    vocab.extend([SOT, EOT])
+    return {t: i for i, t in enumerate(vocab)}
+
+
 class _Vocab:
     """Merge table + encoder + per-vocab word cache (the lru-cached module
-    functions below stay bound to the default deterministic table)."""
+    functions below stay bound to the default deterministic table). External
+    (registered) vocabularies build the CLIP-layout encoder; the trained
+    default keeps the library-private layout (0 = dedicated pad)."""
 
-    def __init__(self, merges: dict[tuple[str, str], int]):
+    def __init__(self, merges: dict[tuple[str, str], int], clip_layout: bool = False):
         self.merges = merges
-        self.encoder = _build_encoder(merges)
+        self.encoder = _build_encoder_clip(merges) if clip_layout else _build_encoder(merges)
         self._words: dict[str, tuple[str, ...]] = {}
 
     def bpe_word(self, token: str) -> tuple[str, ...]:
@@ -200,11 +245,13 @@ def _vocab_for(pin: "tuple[str, str] | None") -> _Vocab:
     import hashlib
     import os
 
-    path = filename
-    if not os.path.exists(path):
-        from pyspark import SparkFiles
+    path = _LOCAL_VOCAB_PATHS.get(filename)
+    if path is None or not os.path.exists(path):
+        path = filename
+        if not os.path.exists(path):
+            from pyspark import SparkFiles
 
-        path = SparkFiles.get(filename)
+            path = SparkFiles.get(filename)
     with open(path, "rb") as f:
         raw = f.read()
     digest = hashlib.sha256(raw).hexdigest()
@@ -215,12 +262,16 @@ def _vocab_for(pin: "tuple[str, str] | None") -> _Vocab:
     lines = raw.decode("utf-8").split("\n")[1:]  # first line = version header
     merges: dict[tuple[str, str], int] = {}
     for line in lines:
+        # the reference slices merges[1:49152-256-2+1]; parsing past that cap
+        # would change segmentations vs the file's published vocabulary
+        if len(merges) >= CLIP_MAX_MERGES:
+            break
         parts = tuple(line.split())
         if len(parts) == 2:
             merges[parts] = len(merges)
     if not merges:
         raise ValueError(f"vocab {filename}: no merge pairs parsed")
-    return _Vocab(merges)
+    return _Vocab(merges, clip_layout=True)
 
 
 @lru_cache(maxsize=65536)
@@ -268,6 +319,26 @@ def encode(text: str, vocab_pin: "tuple[str, str] | None" = None) -> list[int]:
         mapped = "".join(b2u[b] for b in tok.encode("utf-8"))
         ids.extend(enc[piece] for piece in bpe_word(mapped) if piece in enc)
     return ids
+
+
+def write_fixture_vocab(path: str, n_merges: int | None = None) -> None:
+    """Serialize the deterministic trained merge table in the reference
+    vocab-file format (``bpe_simple_vocab_16e6.txt.gz``: gzip, one version-
+    header line, one space-separated merge pair per line in rank order) — the
+    end-to-end fixture for ``register_vocab``; the real 16 MB file drops in
+    with no code change. Gzip mtime pinned to 0 so the bytes (and the SHA256
+    pin) are reproducible across processes."""
+    import gzip
+
+    pairs = sorted(_merges(), key=_merges().get)
+    if n_merges is not None:
+        pairs = pairs[:n_merges]
+    body = "#version: vfs-fixture-0.1\n" + "\n".join(f"{a} {b}" for a, b in pairs)
+    with open(path, "wb") as f:
+        # filename="" and mtime=0: the gzip header would otherwise embed the
+        # target path + current time and break byte-reproducibility
+        with gzip.GzipFile(filename="", fileobj=f, mode="wb", mtime=0) as gz:
+            gz.write(body.encode("utf-8"))
 
 
 def tokenize(

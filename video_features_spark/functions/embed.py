@@ -67,6 +67,42 @@ _CACHE: dict[tuple, tuple[ModelSpec, np.ndarray, np.ndarray]] = {}
 # resolve the file via SparkFiles.get locally.
 _CHECKPOINTS: dict[str, tuple[str, str]] = {}
 
+# driver-local file resolution: register_checkpoint records the source path
+# here so driver-side loads (fail-fast get_model, oracles, tests) never
+# depend on SparkFiles; executors fall through to SparkFiles.get.
+_LOCAL_CKPT_PATHS: dict[str, str] = {}
+
+
+def use_local_checkpoint_file(filename: str, path: str) -> None:
+    """Resolve ``filename`` to a local path instead of SparkFiles — the seam
+    oracle/test processes (no SparkContext) use to run the checkpoint-loading
+    code path on a file they wrote themselves."""
+    import os
+
+    _LOCAL_CKPT_PATHS[filename] = os.path.abspath(path)
+
+
+def synth_checkpoint_npz(model_name: str, path: str, seed: int) -> None:
+    """Write a deterministic ``.npz`` checkpoint (``w_img``/``w_txt``) for a
+    registry model — a stand-in weight file exercising the FULL real-weights
+    path (register → addFile → SparkFiles resolve → SHA256 verify → np.load →
+    shape check) where torch and the published downloads are unavailable.
+    Weights are a pure function of (model, seed); the zip members carry a
+    pinned timestamp so the bytes are reproducible across processes."""
+    import io
+    import zipfile
+
+    spec = MODEL_REGISTRY[model_name]
+    rng = np.random.default_rng(seed)
+    w_img = (rng.standard_normal((spec.dim, _FEAT_IN)) / np.sqrt(_FEAT_IN)).astype(np.float32)
+    w_txt = (rng.standard_normal((spec.dim, 512)) / np.sqrt(512)).astype(np.float32)
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as z:
+        for name, arr in (("w_img", w_img), ("w_txt", w_txt)):
+            buf = io.BytesIO()
+            np.lib.format.write_array(buf, arr)
+            z.writestr(zipfile.ZipInfo(name + ".npy", date_time=(1980, 1, 1, 0, 0, 0)),
+                       buf.getvalue())
+
 
 def register_checkpoint(spark, model_name: str, path: str, sha256: str | None = None) -> str:
     """Distribute a real weight checkpoint (.npz with ``w_img``/``w_txt``) to
@@ -85,6 +121,7 @@ def register_checkpoint(spark, model_name: str, path: str, sha256: str | None = 
     if sha256 is not None and digest != sha256:
         raise ValueError(f"checkpoint {path}: sha256 {digest} != expected {sha256}")
     spark.sparkContext.addFile(path)
+    _LOCAL_CKPT_PATHS[os.path.basename(path)] = os.path.abspath(path)
     _CHECKPOINTS[model_name] = (os.path.basename(path), digest)
     for k in [k for k in _CACHE if k[0] == model_name]:
         _CACHE.pop(k)
@@ -99,10 +136,13 @@ def checkpoint_for(model_name: str) -> tuple[str, str] | None:
 
 def _load_checkpoint(spec: ModelSpec, filename: str, sha256: str) -> tuple[np.ndarray, np.ndarray]:
     import hashlib
+    import os
 
-    from pyspark import SparkFiles
+    path = _LOCAL_CKPT_PATHS.get(filename)
+    if path is None or not os.path.exists(path):
+        from pyspark import SparkFiles
 
-    path = SparkFiles.get(filename)
+        path = SparkFiles.get(filename)
     with open(path, "rb") as f:
         data = f.read()
     digest = hashlib.sha256(data).hexdigest()

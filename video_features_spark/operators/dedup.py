@@ -194,11 +194,16 @@ def jaccard_on_pairs(
     never the full-corpus shingle self-join.
 
     ``broadcast_pairs=None`` (default) decides automatically: a bounded probe
-    (``pairs.limit(max_broadcast_pairs + 1).count()`` — CollectLimit stops
+    (``pairs.limit(max_broadcast_pairs + 1).collect()`` — CollectLimit stops
     early, it never materializes a huge candidate set) picks broadcast for
     ≤ ``max_broadcast_pairs`` candidates and a shuffle join on id_a above it,
     so a loose banding config can no longer OOM an executor-memory broadcast.
-    Pass True/False to force a side.
+    In the broadcast case the probe's rows ARE the full candidate set, so they
+    are localized into a driver-side table and the candidate chain is never
+    evaluated again (the r4 probe re-ran the chain for the broadcast AND the
+    re-anchor join — ~1.5 s/query at sf0.1 paid twice); the collected set is
+    ≤ cap+1 small fixed-width rows, bounded by construction. Pass True/False
+    to force a side.
 
     ``sh`` is a ``shingle_table`` output; ``pairs`` has (id_a, id_b)."""
     if broadcast_pairs is None:
@@ -206,7 +211,17 @@ def jaccard_on_pairs(
         # cap is crossed, so a pathological candidate explosion never fully
         # materializes driver-side (measured: ~the candidate chain's map cost,
         # cheaper than an eager localCheckpoint of the full set)
-        broadcast_pairs = pairs.limit(max_broadcast_pairs + 1).count() <= max_broadcast_pairs
+        head = pairs.limit(max_broadcast_pairs + 1).collect()
+        broadcast_pairs = len(head) <= max_broadcast_pairs
+        if broadcast_pairs:
+            # the probe returned EVERY candidate (limit > |set| is the full,
+            # deterministic set) — replace the chain with a local table so the
+            # broadcast and the re-anchor below reuse it at zero recompute
+            import pandas as pd
+
+            pairs = sh.sparkSession.createDataFrame(
+                pd.DataFrame(head, columns=pairs.columns), schema=pairs.schema
+            )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     sha = sh.select(F.col(id_col).alias("id_a"), "h")
     shb = sh.select(F.col(id_col).alias("id_b"), "h")

@@ -13,9 +13,11 @@ Design
 - Data lands under ``<base>/data`` partitioned by ``__part`` with DYNAMIC
   partition overwrite: re-running a partition replaces exactly that partition →
   idempotent under crash-and-retry, no cross-run races.
-- The manifest (``<base>/_manifest``) appends one row per completed partition:
-  job/snapshot id, partition id, key range, row count, content checksum
-  (sum of per-row xxhash64 — order-independent, partitioning-independent).
+- The manifest (``<base>/_manifest``, or the ``_manifest.ptr``-named
+  generation dir once a compaction has run) appends one row per completed
+  partition: job/snapshot id, partition id, key range, row count, content
+  checksum (sum of per-row xxhash64 — order-independent,
+  partitioning-independent).
   A partition whose data wrote but whose manifest row didn't (crash between
   the two) is simply recomputed and overwritten — safe, never corrupt.
 - Resume = left ANTI-join of the input's partition ids against the manifest's
@@ -45,6 +47,34 @@ def _manifest_path(base: str) -> str:
     return os.path.join(base, "_manifest")
 
 
+def _manifest_ptr_path(base: str) -> str:
+    return os.path.join(base, "_manifest.ptr")
+
+
+def _gen_dir(base: str, gen: int) -> str:
+    return os.path.join(base, f"_manifest.g{gen}")
+
+
+def _current_generation(base: str) -> "int | None":
+    """The compaction generation the pointer file names, or None while the
+    base is still on the legacy ``_manifest`` layout (pre-first-compaction)."""
+    try:
+        with open(_manifest_ptr_path(base)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _resolve_manifest_dir(base: str) -> str:
+    """Where the live manifest lives: the pointer's generation dir once a
+    compaction has run, else the legacy append dir. The pointer is flipped
+    only AFTER its generation dir is fully written, so the resolved dir is
+    always complete — readers racing a compaction see either the old or the
+    new generation, never a partial one."""
+    gen = _current_generation(base)
+    return _manifest_path(base) if gen is None else _gen_dir(base, gen)
+
+
 def with_partition_id(df: DataFrame, key_cols: Sequence[str], num_parts: int) -> DataFrame:
     """Deterministic partition id from the entity key — same key always lands
     in the same part regardless of cluster size or input order."""
@@ -59,11 +89,15 @@ def _content_checksum(cols: Sequence[str]):
 
 
 def load_manifest(spark: SparkSession, base_path: str) -> DataFrame | None:
-    path = _manifest_path(base_path)
-    if not os.path.exists(path) and os.path.exists(path + ".__compact_old"):
-        # a compaction crashed between its two renames — restore before
-        # reading, or resume would recompute EVERY partition
-        _recover_compaction(base_path)
+    path = _resolve_manifest_dir(base_path)
+    legacy_old = _manifest_path(base_path) + ".__compact_old"
+    if path == _manifest_path(base_path) and not os.path.exists(path) and os.path.exists(legacy_old):
+        # legacy (pre-pointer) base whose rename-based compaction crashed
+        # between its two renames — restore before reading, or resume would
+        # recompute EVERY partition. Restore rename ONLY: leftover cleanup
+        # belongs to compact_manifest (single-writer context) — a reader
+        # must never delete an in-flight compactor's tmp dir.
+        os.rename(legacy_old, path)
     try:
         return spark.read.parquet(path)
     except Exception:  # noqa: BLE001 - first run: no manifest yet
@@ -134,7 +168,7 @@ def checkpointed_write(
         .withColumn("snapshot_id", F.lit(snapshot_id))
         .withColumn("manifest_seq", F.lit(seq))
     )
-    manifest_rows.write.mode("append").parquet(_manifest_path(base_path))
+    manifest_rows.write.mode("append").parquet(_resolve_manifest_dir(base_path))
 
     done_now = manifest_rows.agg(
         F.count(F.lit(1)).alias("p"), F.sum("row_count").alias("r")
@@ -153,19 +187,49 @@ def compact_manifest(spark: SparkSession, base_path: str) -> dict:
     (max ``manifest_seq`` — earlier rows describe overwritten data). The
     manifest grows by one row per partition per (re)run; resume and verify
     filter it every time, so long-lived bases compact periodically to keep
-    those reads O(partitions). Swap is via directory rename — atomic on a
-    POSIX filesystem; on object stores run it while no writer is active (the
-    same discipline the writer itself needs there).
+    those reads O(partitions).
 
-    Returns {"rows_before", "rows_after"}."""
+    Swap protocol — GENERATION POINTER, no directory rename (object-store
+    safe: S3/GCS renames are copy+delete, not atomic): the compacted rows are
+    written to a fresh ``_manifest.g<N+1>`` dir, then a one-line pointer file
+    ``_manifest.ptr`` is atomically replaced to name the new generation
+    (``os.replace`` of a file on POSIX; a single small-object PUT on an
+    object store — both atomic at the granularity that matters). Readers
+    resolve the pointer first, so at every instant they see a COMPLETE
+    manifest: the old generation before the flip, the new one after. A crash
+    before the flip leaves an orphan generation dir (overwritten by the next
+    compaction); a crash after the flip leaves the superseded dir (removed by
+    the next compaction). Only this function deletes anything — readers
+    self-heal by renames alone, so a racing ``load_manifest`` can never
+    destroy an in-flight compaction's work.
+
+    Appends continue to land in the resolved current dir; run compaction
+    while no writer is appending (same single-compactor discipline as
+    before — the pointer protocol removes the reader/compactor race, not the
+    writer/compactor one).
+
+    Returns {"rows_before", "rows_after", "generation"}."""
     import shutil
 
     from pyspark.sql import Window
 
-    _recover_compaction(base_path)
+    # legacy bases: heal a crashed rename-based compaction and clear stale
+    # leftovers (ownership: only the compactor deletes)
+    legacy = _manifest_path(base_path)
+    legacy_tmp, legacy_old = legacy + ".__compact_tmp", legacy + ".__compact_old"
+    if not os.path.exists(legacy) and os.path.exists(legacy_old):
+        os.rename(legacy_old, legacy)
+    for leftover in (legacy_tmp, legacy_old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+
     manifest = load_manifest(spark, base_path)
     if manifest is None:
         raise FileNotFoundError(f"no manifest under {base_path}")
+    gen = _current_generation(base_path)
+    cur_dir = _resolve_manifest_dir(base_path)
+    next_gen = 0 if gen is None else gen + 1
+
     before = manifest.count()
     latest = Window.partitionBy(PART_COL).orderBy(F.desc("manifest_seq"))
     compacted = (
@@ -173,31 +237,34 @@ def compact_manifest(spark: SparkSession, base_path: str) -> dict:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    tmp = _manifest_path(base_path) + ".__compact_tmp"
-    old = _manifest_path(base_path) + ".__compact_old"
-    compacted.write.mode("overwrite").parquet(tmp)
-    after = spark.read.parquet(tmp).count()
-    os.rename(_manifest_path(base_path), old)
-    os.rename(tmp, _manifest_path(base_path))
-    shutil.rmtree(old)
-    return {"rows_before": before, "rows_after": after}
+    new_dir = _gen_dir(base_path, next_gen)
+    # mode=overwrite also absorbs an orphan dir of the same generation left
+    # by a compaction that crashed before its pointer flip
+    compacted.write.mode("overwrite").parquet(new_dir)
+    after = spark.read.parquet(new_dir).count()
+    _flip_pointer(base_path, next_gen)
+    # best-effort cleanup of superseded manifests; failures leave garbage,
+    # never corruption (readers follow the pointer)
+    for stale in [cur_dir] + [
+        os.path.join(base_path, d)
+        for d in os.listdir(base_path)
+        if d.startswith("_manifest.g") and d != f"_manifest.g{next_gen}"
+    ]:
+        shutil.rmtree(stale, ignore_errors=True)
+    return {"rows_before": before, "rows_after": after, "generation": next_gen}
 
 
-def _recover_compaction(base_path: str) -> None:
-    """Self-heal a compaction that crashed mid-swap: if the manifest dir is
-    gone but ``.__compact_old`` survives, the crash fell between the two
-    renames — restore the old manifest (conservative; its rows describe the
-    same completed partitions). Stale tmp/old leftovers next to a live
-    manifest are removed so a wedged state can't block the next compaction."""
-    import shutil
-
-    path = _manifest_path(base_path)
-    tmp, old = path + ".__compact_tmp", path + ".__compact_old"
-    if not os.path.exists(path) and os.path.exists(old):
-        os.rename(old, path)
-    for leftover in (tmp, old):
-        if os.path.exists(leftover):
-            shutil.rmtree(leftover)
+def _flip_pointer(base_path: str, gen: int) -> None:
+    """Atomically point readers at generation ``gen``: write-temp + replace
+    (one file, one atomic primitive — the object-store analog is a single
+    small-object PUT of ``_manifest.ptr``)."""
+    ptr = _manifest_ptr_path(base_path)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(gen))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, ptr)
 
 
 def verify_manifest(spark: SparkSession, base_path: str) -> DataFrame:
