@@ -153,6 +153,22 @@ def main(sf_dir: str) -> int:
     if " Exchange " in plan_of(chain):
         failures.append("video frame pipeline shuffles (should be map-only)")
 
+    # 12. set-based verify: the WIDE shingle-set sides must never broadcast
+    #     (Catalyst's parquet-derived stats underestimate in-row array width
+    #     by ~1000x) — the only BroadcastExchange allowed feeds the candidate
+    #     pair list / id semi-filters, and both set joins are shuffle-hash
+    from video_features_spark.operators.dedup import minhash_dedup
+
+    p = plan_of(minhash_dedup(docs, "doc_id", "text", 32, 8, 5, 0.5))
+    if "ShuffledHashJoin" not in p:
+        failures.append("set verify does not shuffle-hash the wide set sides")
+    # formatted explain prints one detail block per node: any BroadcastExchange
+    # whose Input mentions a shingle-set column is the bug this audit pins
+    for block in p.split("\n\n"):
+        if "BroadcastExchange" in block and ("__sa" in block or "__sb" in block or "__sset" in block):
+            failures.append("set verify broadcasts a shingle-set side")
+            break
+
     # 9. IVF centroid sample: top-k, not a global sort
     from video_features_spark.operators.similarity import _l2  # noqa: F401
 

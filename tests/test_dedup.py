@@ -316,3 +316,77 @@ def test_jaccard_on_pairs_keeps_zero_shingle_docs(spark):
     got = {(r["id_a"], r["id_b"]): r["jaccard"]
            for r in jaccard_on_pairs(sh, pairs, "doc_id", threshold=0.0).collect()}
     assert got == {("a", "b"): 0.0, ("a", "c"): 0.0}
+
+
+def test_jaccard_on_pair_sets_matches_exploded_verifier(spark):
+    """The set-based verify (minhash_dedup's hot path) must agree with the
+    exploded-table verifier on every pair, both join strategies, including
+    zero-overlap and sub-shingle-length docs."""
+    from video_features_spark.operators.dedup import (
+        jaccard_on_pair_sets,
+        jaccard_on_pairs,
+        shingle_table,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps over the lazy dog"),
+            ("b", "the quick brown fox jumps over the lazy cat"),
+            ("c", "completely unrelated text with no shared shingles!"),
+            ("d", "the quick brown fox jumps over the lazy dog"),  # == a
+            ("e", "xy"),  # shorter than shingle_n
+        ],
+        "doc_id string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("a", "e")],
+        "id_a string, id_b string",
+    )
+    sh = shingle_table(docs, "doc_id", "text", 5)
+    exploded = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_on_pairs(sh, pairs, "doc_id", threshold=0.0).collect()
+    }
+    for bc in (True, False):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in jaccard_on_pair_sets(
+                docs, pairs, "doc_id", "text", 5, threshold=0.0, broadcast_pairs=bc
+            ).collect()
+        }
+        assert set(got) == set(exploded)
+        for k in got:
+            assert abs(got[k] - exploded[k]) < 1e-12, (bc, k, got[k], exploded[k])
+    assert exploded[("a", "d")] == 1.0  # identical docs
+    assert exploded[("a", "c")] == 0.0  # zero overlap survives at threshold 0
+
+
+def test_inrow_signatures_match_exploded_aggregate(spark):
+    """minhash_signatures' in-row array_min form must be bit-identical to the
+    explode+groupBy aggregate it replaced (min over the same distinct set)."""
+    from pyspark.sql import functions as F
+
+    from video_features_spark.operators.dedup import (
+        _P,
+        _hash_params,
+        minhash_signatures,
+        shingle_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some repeated shingle text {i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    n_hashes = 16
+    sh = shingle_table(docs, "doc_id", "text", 5)
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_hash_params(n_hashes))
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    old = {r["doc_id"]: [r[f"m{i}"] for i in range(n_hashes)] for r in agg.collect()}
+    new = {
+        r["doc_id"]: list(r["minhash"])
+        for r in minhash_signatures(docs, "doc_id", "text", n_hashes, 5).collect()
+    }
+    assert new == old
