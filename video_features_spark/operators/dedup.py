@@ -179,7 +179,17 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature, hash each band, self-join on (band, band_hash):
     classic MinHash-LSH candidate generation. Signature length must be
-    divisible by ``bands``."""
+    divisible by ``bands``.
+
+    The input is re-exchanged on the id first: in-row signatures arrive as an
+    UNMATERIALIZED projection, and without a barrier Catalyst's projection
+    collapse inlines the whole signature computation (shingle set + one
+    transform per hash function) into EVERY band-hash expression on BOTH
+    sides of the self-join — measured 2x the total chain at sf0.1. The
+    exchange carries only (id, n_hashes longs) — trivial at any scale — and
+    the two join sides share it via ReuseExchange, so the signature pipeline
+    evaluates exactly once."""
+    sig_df = sig_df.repartition(id_col)
     rows_per_band = (F.size(F.col(sig_col)) / bands).cast("int")
     banded = sig_df.select(
         id_col,
