@@ -224,6 +224,9 @@ def _run_queries(spark, args, out: dict) -> None:
         # round-4 additions: S9 resume, §2.8 streaming parity, dense flow
         "checkpoint_resume", "stream_asof", "image_pair_flow_field",
         "video_frames",
+        # round-5 additions: consolidated OLAP entries + the new seam queries
+        "grouping_sets_sales", "distinct_guard", "stream_tumbling",
+        "image_checkpoint_weights", "caption_bpe",
     ]
     for name in headline:
         t0 = time.time()
