@@ -237,7 +237,7 @@ def test_cc_star_handles_adversarial_chain(spark):
     )
     star = {
         r["id"]: r["component"]
-        for r in connected_components(pairs, max_iter=12).collect()
+        for r in connected_components(pairs, max_iter=12, algorithm="star").collect()
     }
     assert star == {i: 0 for i in range(n)}
     label = {
@@ -276,13 +276,24 @@ def test_cc_star_equals_label_equals_union_find(spark, edges):
     nodes = sorted({x for e in edges for x in e})
     want = _union_find(nodes, edges)
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    star = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    star = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
     label = {
         r["id"]: r["component"]
         for r in connected_components(pairs, algorithm="label", max_iter=100).collect()
     }
+    auto = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert star == want
     assert label == want
+    assert auto == want  # driver-side union-find path (under-cap graphs)
+    # force the auto probe OVER the cap: must fall through to star, same answer
+    big_path = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, max_local_pairs=0).collect()
+    }
+    assert big_path == want
 
 
 def test_cc_star_refuses_unconverged_output(spark):
@@ -296,7 +307,7 @@ def test_cc_star_refuses_unconverged_output(spark):
     from video_features_spark.operators.dedup import connected_components
 
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iter=1).collect()
+        connected_components(pairs, max_iter=1, algorithm="star").collect()
 
 
 def test_jaccard_on_pairs_keeps_zero_shingle_docs(spark):

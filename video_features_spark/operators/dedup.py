@@ -409,30 +409,46 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
-    algorithm: str = "star",
+    algorithm: str = "auto",
+    max_local_pairs: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs → ``(id, component)`` with
     component = the smallest member id.
 
-    ``algorithm='star'`` (default): alternating large-star/small-star
-    contraction (Kiveris et al., "Connected Components in MapReduce and
-    Beyond", SoCC'14) — converges in O(log² n) rounds on ANY graph shape.
-    ``algorithm='label'``: iterative min-label propagation — O(component
-    diameter) rounds; fine for shallow near-dup clusters but an adversarial
-    duplicate CHAIN (each doc near-dup of the next) makes the round count
-    linear in chain length at scale, so it is no longer the default. The two
-    are hypothesis-gated equivalent (tests/test_dedup.py).
+    ``algorithm='auto'`` (default): a bounded probe
+    (``limit(max_local_pairs+1).collect()``) sizes the edge list. An
+    under-cap graph — the COMMON case: the input is the LSH-VERIFIED pair
+    set, already pruned to actual near-dups — solves driver-side by
+    union-find (exact, microseconds; ≤ 2M pairs of two longs is ~32 MB, the
+    same bounded-collect discipline as the IVF fit sample), replacing ~K
+    rounds × ~4 Spark jobs of pure scheduling overhead with one job. An
+    over-cap graph falls through to the distributed star path, paying only
+    the probe (one evaluation of the pair chain — which the star path would
+    spend on its own localCheckpoint anyway).
 
-    Scale notes: every step is a join/groupBy keyed on node id — neighbor
-    lists are never materialized (hot star centers stay aggregate-shaped;
-    AQE skew-join applies); ``localCheckpoint`` truncates the lineage every
-    round — without it the plan doubles per iteration and the driver chokes
-    long before the data does. This is the step that turns verified pairs
-    into dedup groups (keep min(id) per component, drop the rest)."""
+    ``algorithm='star'``: alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — converges in O(log² n) rounds on ANY graph shape; THE scale
+    path. ``algorithm='label'``: iterative min-label propagation —
+    O(component diameter) rounds; fine for shallow near-dup clusters but an
+    adversarial duplicate CHAIN makes the round count linear in chain
+    length. All paths are gated equivalent (tests/test_dedup.py).
+
+    Scale notes (star): every step is a join/groupBy keyed on node id —
+    neighbor lists are never materialized (hot star centers stay
+    aggregate-shaped; AQE skew-join applies); ``localCheckpoint`` truncates
+    the lineage every round — without it the plan doubles per iteration and
+    the driver chokes long before the data does. This is the step that turns
+    verified pairs into dedup groups (keep min(id) per component)."""
+    if algorithm == "auto":
+        head = pairs.select(id_a, id_b).limit(max_local_pairs + 1).collect()
+        if len(head) <= max_local_pairs:
+            return _cc_local_union_find(pairs, head, id_a, id_b)
+        algorithm = "star"
     if algorithm == "star":
         return _cc_alternating_stars(pairs, id_a, id_b, max_iter)
     if algorithm != "label":
-        raise ValueError(f"algorithm must be star|label, got {algorithm!r}")
+        raise ValueError(f"algorithm must be auto|star|label, got {algorithm!r}")
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -461,6 +477,42 @@ def connected_components(
         if not changed:
             break
     return labels
+
+
+def _cc_local_union_find(pairs: DataFrame, rows: list, id_a: str, id_b: str) -> DataFrame:
+    """Driver-side union-find over an under-cap edge list (see
+    ``connected_components(algorithm='auto')``). Union-by-min keeps each
+    tree's root at the set minimum, so root == component label directly; full
+    path compression makes the pass effectively linear."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    comp = [(x, find(x)) for x in parent]
+    id_type = pairs.schema[id_a].dataType.simpleString()
+    return pairs.sparkSession.createDataFrame(
+        pd.DataFrame(comp, columns=["id", "component"]),
+        schema=f"id {id_type}, component {id_type}",
+    )
 
 
 def _cc_alternating_stars(
@@ -558,11 +610,11 @@ def _cc_alternating_stars(
 
 
 def dedup_groups(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", algorithm: str = "auto"
 ) -> DataFrame:
     """Pairs → one row per duplicate-cluster member: ``(id, component,
     is_kept)`` where the smallest id of each component is the survivor."""
-    comp = connected_components(pairs, id_a, id_b)
+    comp = connected_components(pairs, id_a, id_b, algorithm=algorithm)
     return comp.withColumn("is_kept", F.col("id") == F.col("component"))
 
 
