@@ -197,10 +197,22 @@ def _q_distinct_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     drifts, the driver hash fails loudly. At 100 TB the sketch is the
     affordable first pass; the exact count is the audit."""
     li = _read(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("n_distinct_orders"),
-        F.count(F.lit(1)).alias("n_rows"),
-        (F.count(F.lit(1)) == F.countDistinct("l_orderkey", "l_linenumber")).alias("pk_unique"),
+    # two-phase instead of multi-DISTINCT in one agg: three distinct
+    # aggregates would Expand the fact table 3x before the shuffle (measured
+    # 10.0 s vs 2.2 s at sf0.1). Phase 1 reduces to one row per PK, phase 2
+    # to one row per (group, orderkey) — each with map-side partial agg — and
+    # the HLL sketch over the DEDUPLICATED keys has the identical registers
+    # (duplicates never change an HLL), so the estimate is bit-equal.
+    l1 = li.groupBy("l_returnflag", "l_orderkey", "l_linenumber").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    l2 = l1.groupBy("l_returnflag", "l_orderkey").agg(
+        F.count(F.lit(1)).alias("__pk_groups"), F.sum("__c").alias("__rows")
+    )
+    agg = l2.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_distinct_orders"),
+        F.sum("__rows").alias("n_rows"),
+        (F.sum("__rows") == F.sum("__pk_groups")).alias("pk_unique"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("__est"),
     )
     return agg.select(
