@@ -398,9 +398,10 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate clusters: connected components (iterative min-label
-    propagation with per-round lineage truncation) over the LSH-verified
-    near-dup pairs — the production composition (MinHash→LSH→verify→CC).
+    """Duplicate clusters: connected components (bounded-probe AUTO path —
+    driver union-find under the cap, large-star/small-star contraction above
+    it) over the LSH-verified near-dup pairs — the production composition
+    (MinHash→LSH→verify→CC).
     Feeding CC from full-corpus exact Jaccard would run the O(Σ freq²)
     shingle self-join LSH exists to avoid (1.5e9 intermediate rows at sf0.1
     on this stop-shingle-heavy corpus); the exact path remains available as

@@ -247,6 +247,7 @@ def jaccard_on_pair_sets(
     n: int = 5,
     threshold: float = 0.0,
     broadcast_pairs: bool = False,
+    prefilter_ids: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard over a candidate pair list via per-doc shingle SETS:
     join each pair to its two in-row shingle-hash arrays, then
@@ -264,11 +265,15 @@ def jaccard_on_pair_sets(
     banding already bounds). Every pair id exists in ``df`` by construction
     (candidates are drawn from it), and zero-overlap pairs surface naturally
     with jaccard 0 — no re-anchor join needed."""
+    if prefilter_ids is None:
+        prefilter_ids = broadcast_pairs
     base_a = base_b = df
-    if broadcast_pairs:
-        # pairs are a small local table here — pre-filter each side's docs to
-        # the ids that actually appear in candidates (broadcast semi-join sits
-        # BELOW the set projection, so non-candidate rows never pay the
+    if prefilter_ids:
+        # pairs are a small LOCAL table here (the caller vouches — each
+        # semi-join below references them twice more, which would re-evaluate
+        # a lazy candidate chain) — pre-filter each side's docs to the ids
+        # that actually appear in candidates (broadcast semi-join sits BELOW
+        # the set projection, so non-candidate rows never pay the
         # per-character shingle transform; on a sparse-candidate corpus this
         # prunes most of the work)
         base_a = df.join(
@@ -397,10 +402,20 @@ def minhash_dedup(
     (id_a, id_b, jaccard) pairs."""
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     cands = lsh_candidate_pairs(sigs, id_col, bands)
+    localized = False
     if broadcast_pairs is None:
         cands, broadcast_pairs = _resolve_candidate_pairs(cands, 500_000)
+        localized = broadcast_pairs
+    elif broadcast_pairs:
+        # caller vouches for smallness; still try to localize so the chain
+        # evaluates once — over the cap we honor the broadcast but skip the
+        # id pre-filter (it would re-evaluate the lazy chain twice)
+        local, ok = _resolve_candidate_pairs(cands, 500_000)
+        if ok:
+            cands, localized = local, True
     return jaccard_on_pair_sets(
-        df, cands, id_col, text_col, shingle_n, threshold, broadcast_pairs
+        df, cands, id_col, text_col, shingle_n, threshold, broadcast_pairs,
+        prefilter_ids=localized,
     )
 
 
