@@ -34,6 +34,11 @@ def main() -> None:
                     help="probe-rows-per-entity above which hot keys are salted")
     ap.add_argument("--strict", action="store_true", default=True,
                     help="leakage-free: features strictly before label_ts")
+    ap.add_argument("--compact-manifest", action="store_true",
+                    help="after the run, compact the append-only manifest to "
+                         "one row per partition (generation-pointer swap — "
+                         "safe on object stores; run while no other writer "
+                         "is appending to this base)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,6 +59,10 @@ def main() -> None:
         snapshot_id=args.snapshot_id,
     )
     stats = run(spark, spec)
+    if args.compact_manifest:
+        from video_features_spark.sources.checkpoint import compact_manifest
+
+        stats["compaction"] = compact_manifest(spark, args.output)
     print("JOB_STATS:" + json.dumps(stats))
     spark.stop()
 
