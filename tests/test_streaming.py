@@ -185,3 +185,45 @@ def test_stream_video_frames_equals_batch(spark, tmp_path):
     got = {key(r): (r["frame_ts"], bytes(r["bytes"])) for r in res.collect()}
     want = {key(r): (r["frame_ts"], bytes(r["bytes"])) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_near_dup_lookup_equals_batch(spark, tmp_path):
+    """Streaming admission-control near-dup (new docs streamed against a
+    static corpus) must find exactly the pairs the batch near_dup_join
+    finds, with identical jaccard values — the in-row signature design is
+    what makes the MinHash chain streaming-legal at all."""
+    from video_features_spark.operators.dedup import near_dup_join
+    from video_features_spark.streaming.ops import stream_near_dup_lookup
+
+    base = "the quick brown fox jumps over the lazy dog again and again and again"
+    corpus = spark.createDataFrame(
+        [(100 + i, base + f" corpus variation {i}") for i in range(6)]
+        + [(200, "entirely different content about mountain weather patterns")],
+        "corpus_id long, text string",
+    )
+    rows = [
+        (i, base + f" stream variation {i % 3}", f"2026-01-01 0{i}:00:00")
+        for i in range(8)
+    ] + [(99, "unrelated text that matches nothing in the corpus", "2026-01-01 09:00:00")]
+    incoming = spark.createDataFrame(rows, "doc_id long, text string, ts string").select(
+        "doc_id", "text", F.col("ts").cast("timestamp").alias("ts")
+    )
+    d = str(tmp_path / "stream_docs")
+    incoming.repartition(3).write.mode("overwrite").parquet(d)
+
+    sdf = _read_stream(spark, d)
+    got = _run_stream(
+        spark,
+        stream_near_dup_lookup(sdf, corpus, threshold=0.35, watermark="10 days"),
+        "t_near_dup", mode="append",
+    )
+    batch = near_dup_join(
+        spark.read.parquet(d), corpus, threshold=0.35, left_extra_cols=("ts",)
+    )
+    g = {(r["doc_id"], r["corpus_id"]): r["jaccard"] for r in got.collect()}
+    b = {(r["doc_id"], r["corpus_id"]): r["jaccard"] for r in batch.collect()}
+    assert len(b) > 0  # the fixture must actually produce matches
+    assert set(g) == set(b)
+    for k in g:
+        assert abs(g[k] - b[k]) < 1e-12
+    assert all(doc != 99 for doc, _ in g)  # the unrelated doc matches nothing

@@ -419,6 +419,92 @@ def minhash_dedup(
     )
 
 
+def near_dup_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_left: str = "doc_id",
+    id_right: str = "corpus_id",
+    text_left: str = "text",
+    text_right: str = "text",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+    left_extra_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Near-dup LOOKUP of ``left`` documents against a ``right`` corpus:
+    MinHash-LSH banding on BOTH sides, candidate = collision in any band,
+    exact set-Jaccard verification — the incremental form of
+    ``minhash_dedup`` (new data vs an indexed corpus instead of corpus vs
+    itself). Emits (id_left, [left_extra_cols], id_right, jaccard ≥
+    threshold).
+
+    STREAMING-LEGAL on the left side, which is the point: every left-side
+    step is map-only (the r5 in-row signatures are what makes this possible —
+    the classic explode+groupBy signature form is an aggregation a stream
+    cannot run without windowed state), the candidate join is a plain
+    stream-static equi-join on (band, band_hash), and verification is an
+    in-row ``array_intersect`` of shingle sets recomputed from the carried
+    texts. Batch callers get band-duplicate matches collapsed here; a
+    streaming left must collapse them with
+    ``dropDuplicatesWithinWatermark`` (see
+    ``streaming.ops.stream_near_dup_lookup``) because stateless dedup is
+    unbounded on a stream.
+
+    Scale notes: the banded index of ``right`` is bands×|corpus| narrow rows
+    — build it once and reuse across micro-batches/runs; texts ride the
+    banded rows so the verify needs no second join (bounded ×bands
+    recompute of a candidate's shingle sets, traded against re-joining a
+    stream to itself, which Structured Streaming forbids)."""
+    if n_hashes % bands:
+        raise ValueError(f"n_hashes ({n_hashes}) must divide into bands ({bands})")
+    rpb = n_hashes // bands
+
+    def banded_side(df, id_col, text_col, out_id, out_txt, extra=()):
+        sets = df.select(
+            F.col(id_col).alias(out_id),
+            F.col(text_col).alias(out_txt),
+            *[F.col(c) for c in extra],
+            F.array_distinct(
+                F.transform(char_shingles(text_col, shingle_n), shingle_hash)
+            ).alias("__sset"),
+        )
+        sig = sets.select(
+            out_id, out_txt, *extra,
+            F.array(*[_sig_min_expr(a, b) for a, b in _hash_params(n_hashes)]).alias("__mh"),
+        )
+        # exchange barrier: without it projection collapse inlines the whole
+        # signature computation into every band expression (see
+        # lsh_candidate_pairs); repartition is streaming-legal
+        sig = sig.repartition(out_id)
+        return sig.select(
+            out_id, out_txt, *extra,
+            F.posexplode(
+                F.array(*[band_hash_expr("__mh", b, rpb) for b in range(bands)])
+            ).alias("band", "band_hash"),
+        )
+
+    lb = banded_side(left, id_left, text_left, "__lid", "__ltxt", tuple(left_extra_cols))
+    rb = banded_side(right, id_right, text_right, "__rid", "__rtxt")
+    cand = lb.join(rb, ["band", "band_hash"])
+    sl = F.array_distinct(F.transform(char_shingles("__ltxt", shingle_n), shingle_hash))
+    sr = F.array_distinct(F.transform(char_shingles("__rtxt", shingle_n), shingle_hash))
+    inter = F.size(F.array_intersect(sl, sr))
+    union_sz = F.size(sl) + F.size(sr) - inter
+    out = (
+        cand.select(
+            F.col("__lid").alias(id_left),
+            *[F.col(c) for c in left_extra_cols],
+            F.col("__rid").alias(id_right),
+            F.when(union_sz == 0, F.lit(0.0)).otherwise(inter / union_sz).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    if left.isStreaming:
+        return out  # caller collapses band duplicates within its watermark
+    return out.dropDuplicates([id_left, id_right])
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -82,6 +82,50 @@ def stream_dedup(
     return _tz(sdf, ts_col).withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))
 
 
+def stream_near_dup_lookup(
+    sdf: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    corpus_id_col: str = "corpus_id",
+    corpus_text_col: str = "text",
+    watermark: str = "1 hour",
+    n_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Streaming near-dup screening: each arriving document is MinHash-LSH
+    matched against a STATIC indexed corpus and verified by exact set-Jaccard
+    — the incremental admission-control form of ``operators.dedup``'s batch
+    pipeline (is this new crawl page a near-copy of anything we already
+    hold?). The whole chain is append-mode legal: in-row signatures
+    (map-only — the r5 explode-free redesign is what makes MinHash possible
+    on a stream at all), a stream-static equi-join on (band, band_hash), an
+    in-row verify, and ``dropDuplicatesWithinWatermark`` to collapse
+    multi-band hits of the same (doc, corpus doc) pair with bounded state.
+    Emits (id, ts, corpus_id, jaccard). Batch parity is pinned in
+    tests/test_streaming.py."""
+    from ..operators.dedup import near_dup_join
+
+    s = _tz(sdf, ts_col).withWatermark(ts_col, watermark)
+    matches = near_dup_join(
+        s,
+        corpus,
+        id_left=id_col,
+        id_right=corpus_id_col,
+        text_left=text_col,
+        text_right=corpus_text_col,
+        n_hashes=n_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+        left_extra_cols=(ts_col,),
+    )
+    return matches.dropDuplicatesWithinWatermark([id_col, corpus_id_col])
+
+
 def stream_extract_features(sdf: DataFrame, model_name: str = "clip-small-det") -> DataFrame:
     """Decode+embed on a stream: ``extract_image_features`` is mapInPandas, so
     the exact same operator runs on a streaming DataFrame unchanged — one code
