@@ -140,6 +140,37 @@ def _better(a: "dict | None", b: "dict | None") -> "dict | None":
     return b if b["images_per_sec"] > a["images_per_sec"] else a
 
 
+def _worker_spin(_):
+    os.environ["OMP_NUM_THREADS"] = "1"
+    import numpy as np
+
+    a = np.random.default_rng(0).standard_normal((256, 256)).astype("float32")
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 1.2:
+        a @ a
+        n += 1
+    return n
+
+
+def host_ratio() -> "float | None":
+    """~8 s co-tenant interference probe: aggregate single-threaded-matmul
+    throughput of 32 workers over 8 workers. ≈4.0 on an idle box (perfect
+    4x), →1.0 when co-tenants saturate the socket (32 workers add nothing
+    over 8). Shipped alongside every scaling attempt so a degraded-window
+    pair is objectively labeled in the artifact rather than argued about."""
+    import multiprocessing as mp
+
+    try:
+        with mp.Pool(32) as p:
+            r8 = sum(p.map(_worker_spin, range(8)))
+        with mp.Pool(32) as p:
+            r32 = sum(p.map(_worker_spin, range(32)))
+        return round(r32 / r8, 2) if r8 else None
+    except Exception:  # noqa: BLE001 - the probe is evidence, never a blocker
+        return None
+
+
 def _pick_best(attempts: list) -> "dict | None":
     """Which (lo, hi) attempt pair ships as the headline scaling numbers.
     NOT max-efficiency (r4 advice: a slowdown window hitting only the lo-side
@@ -192,6 +223,7 @@ def main() -> None:
     # max-efficiency). Every attempt's raw numbers ship in "attempts" for the
     # skeptical reader.
     def scale_pair(tag: str) -> "dict | None":
+        hr = _timed(f"host_ratio{tag}", host_ratio)
         # a crashed worker must cost one attempt, never the whole artifact
         try:
             lo = _timed(f"scale_lo{tag}", run_worker, CORES_LO, SCALE_IMAGES,
@@ -204,7 +236,7 @@ def main() -> None:
             return None
         time.sleep(settle)
         eff = hi_c["images_per_sec"] / (lo["images_per_sec"] * ratio)
-        return {"lo": lo, "hi": hi_c, "efficiency": round(eff, 3)}
+        return {"lo": lo, "hi": hi_c, "efficiency": round(eff, 3), "host_ratio": hr}
 
     max_attempts = int(os.environ.get("BENCH_SCALE_ATTEMPTS", "3"))
     attempts = []
@@ -389,6 +421,9 @@ def main() -> None:
                     "images_per_sec_lo": a["lo"]["images_per_sec"],
                     "images_per_sec_hi": a["hi"]["images_per_sec"],
                     "efficiency": a["efficiency"],
+                    # co-tenant probe sampled just before the pair: ~4.0 =
+                    # idle box, ~1.0 = saturated socket (see host_ratio)
+                    "host_ratio": a.get("host_ratio"),
                 }
                 for a in attempts
             ],
