@@ -155,18 +155,21 @@ def _worker_spin(_):
 
 def host_ratio() -> "float | None":
     """~8 s co-tenant interference probe: aggregate single-threaded-matmul
-    throughput of 32 workers over 8 workers. ≈4.0 on an idle box (perfect
-    4x), →1.0 when co-tenants saturate the socket (32 workers add nothing
-    over 8). Shipped alongside every scaling attempt so a degraded-window
-    pair is objectively labeled in the artifact rather than argued about."""
+    throughput of CPUS workers over CORES_LO workers — the same lo/hi core
+    counts the scaling pair measures. ≈CPUS/CORES_LO on an idle box (perfect
+    scaling), →1.0 when co-tenants saturate the socket (the extra workers
+    add nothing). Shipped alongside every scaling attempt so a
+    degraded-window pair is objectively labeled in the artifact rather than
+    argued about. Caveat (measured r5): the probe is L1-resident compute, so
+    it misses bandwidth-shaped co-tenants — necessary, not sufficient."""
     import multiprocessing as mp
 
     try:
-        with mp.Pool(32) as p:
-            r8 = sum(p.map(_worker_spin, range(8)))
-        with mp.Pool(32) as p:
-            r32 = sum(p.map(_worker_spin, range(32)))
-        return round(r32 / r8, 2) if r8 else None
+        with mp.Pool(CPUS) as p:
+            r_lo = sum(p.map(_worker_spin, range(CORES_LO)))
+        with mp.Pool(CPUS) as p:
+            r_hi = sum(p.map(_worker_spin, range(CPUS)))
+        return round(r_hi / r_lo, 2) if r_lo else None
     except Exception:  # noqa: BLE001 - the probe is evidence, never a blocker
         return None
 
@@ -257,20 +260,24 @@ def main() -> None:
 
     hw_room = 150  # spark-pair retries may not starve the hw-ceiling pair
     best = _pick_best(attempts)
-    while len(attempts) < max_attempts:
-        # keep the first post-prep attempt unconditional if the early one
-        # failed (the scaling block IS the record); retries need headroom
+    fails = 0
+    # a clean early pair (>= 0.8) already IS the record — skip straight to
+    # the hw pair instead of burning another full (lo, hi) measurement
+    while len(attempts) < max_attempts and not (best and best["efficiency"] >= 0.8):
+        # keep one post-prep attempt unconditional if the early one failed
+        # (the scaling block IS the record); retries need headroom; a
+        # deterministically-crashing worker must cost bounded attempts, not
+        # an unbounded probe-and-respawn loop
         if attempts and not in_budget(tail_reserve + hw_room):
             break
         att = scale_pair(f"[{len(attempts)}]")
         if att is None:
-            if not attempts:
-                continue  # the record needs at least one pair; retry
-            break
+            fails += 1
+            if attempts or fails >= 3:
+                break
+            continue  # the record needs at least one pair; bounded retry
         attempts.append(att)
         best = _pick_best(attempts)
-        if best["efficiency"] >= 0.8:
-            break
     lo_s = best["lo"] if best else None
     hi_s = best["hi"] if best else None
 

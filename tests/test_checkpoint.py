@@ -182,14 +182,21 @@ def test_compaction_generation_pointer_protocol(spark, base):
     s1 = C.compact_manifest(spark, base)
     assert s1["generation"] == 0 and s1["rows_after"] == 4
     assert C._current_generation(base) == 0
-    assert not os.path.exists(C._manifest_path(base))  # legacy dir retired
+    # GRACE PERIOD: the just-superseded legacy dir survives one compaction —
+    # a reader that resolved it an instant before the flip may still read it
+    assert os.path.exists(C._manifest_path(base))
     # appends now land in the generation dir; verify + resume stay exact
     df2 = spark.range(100).withColumn("k", F.col("id") % 10).withColumn("v", F.lit(2))
     checkpointed_write(df2, base, ["k"], num_parts=4, snapshot_id="snap-2")
     assert verify_manifest(spark, base).count() == 0
     s2 = C.compact_manifest(spark, base)
     assert s2["generation"] == 1 and s2["rows_after"] == 4
-    assert not os.path.exists(C._gen_dir(base, 0))  # superseded gen removed
+    assert not os.path.exists(C._manifest_path(base))  # legacy retired now
+    assert os.path.exists(C._gen_dir(base, 0))  # grace: gen 0 survives once
+    s3 = C.compact_manifest(spark, base)
+    assert s3["generation"] == 2
+    assert not os.path.exists(C._gen_dir(base, 0))  # two generations behind
+    assert os.path.exists(C._gen_dir(base, 1))  # grace for the new superseded
     again = checkpointed_write(df2, base, ["k"], num_parts=4, snapshot_id="snap-2")
     assert again["parts_skipped"] == 4 and again["parts_written"] == 0
 

@@ -346,11 +346,13 @@ def test_jaccard_on_pair_sets_matches_exploded_verifier(spark):
             ("c", "completely unrelated text with no shared shingles!"),
             ("d", "the quick brown fox jumps over the lazy dog"),  # == a
             ("e", "xy"),  # shorter than shingle_n
+            ("f", None),  # NULL text
+            ("g", None),  # NULL text: f-g must be 0.0, never NULL==NULL 1.0
         ],
         "doc_id string, text string",
     )
     pairs = spark.createDataFrame(
-        [("a", "b"), ("a", "c"), ("a", "d"), ("a", "e")],
+        [("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"), ("f", "g"), ("a", "f")],
         "id_a string, id_b string",
     )
     sh = shingle_table(docs, "doc_id", "text", 5)
@@ -370,6 +372,7 @@ def test_jaccard_on_pair_sets_matches_exploded_verifier(spark):
             assert abs(got[k] - exploded[k]) < 1e-12, (bc, k, got[k], exploded[k])
     assert exploded[("a", "d")] == 1.0  # identical docs
     assert exploded[("a", "c")] == 0.0  # zero overlap survives at threshold 0
+    assert exploded[("f", "g")] == 0.0  # NULL-text pair: both verifiers 0.0
 
 
 def test_inrow_signatures_match_exploded_aggregate(spark):

@@ -144,10 +144,12 @@ def vocab_size() -> int:
 _VOCAB_PIN: "tuple[str, str] | None" = None
 
 # the reference tokenizer loads bpe_simple_vocab_16e6.txt.gz and slices
-# merges[1:49152-256-2+1] (simple_tokenizer.py:62-66): 48894 merges, chosen so
-# 256 byte tokens + 256 `</w>` byte tokens + merges + 2 specials = 49152 ids.
-# External vocabs are capped at the same count so registering the real file
-# yields the reference's exact merge table (not 49152+ extras past the slice).
+# merges[1:49152-256-2+1] (simple_tokenizer.py:62-66) = 48894 merges — the
+# literal expression from its source; the resulting encoder then holds
+# 256 byte tokens + 256 `</w>` byte tokens + 48894 merges + 2 specials =
+# 49408 ids (CLIP's actual vocab size; EOT = id 49407). External vocabs are
+# capped at the same merge count so registering the real file yields the
+# reference's exact merge table (not extras past the slice).
 CLIP_MAX_MERGES = 49152 - 256 - 2
 
 # driver-local file resolution for registered vocabs: register_vocab records

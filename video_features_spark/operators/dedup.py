@@ -227,16 +227,27 @@ def _resolve_candidate_pairs(
     return local, True
 
 
+def _shingle_set_expr(text_col: str, n: int):
+    """In-row DISTINCT shingle-hash set of a text column. NULL hashes (NULL
+    text ⇒ one NULL shingle ⇒ NULL md5) are FILTERED: ``array_intersect``
+    treats NULL as equal-to-NULL, so keeping them would score two NULL-text
+    docs as jaccard 1.0 where the exploded verifier's equi-join (NULL never
+    equals NULL) scores 0.0 — the set form must match it."""
+    return F.array_distinct(
+        F.filter(
+            F.transform(char_shingles(text_col, n), shingle_hash),
+            lambda h: h.isNotNull(),
+        )
+    )
+
+
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
     """(id, __sset array<long>) — each doc's DISTINCT shingle-hash set computed
     IN-ROW (higher-order functions, no explode, no shuffle). Same set the
-    exploded ``shingle_table`` yields per id, as one map-only pass."""
-    return df.select(
-        id_col,
-        F.array_distinct(
-            F.transform(char_shingles(text_col, n), shingle_hash)
-        ).alias("__sset"),
-    )
+    exploded ``shingle_table`` yields per id, as one map-only pass (modulo
+    NULL hashes, which the exploded equi-joins can never match anyway — see
+    ``_shingle_set_expr``)."""
+    return df.select(id_col, _shingle_set_expr(text_col, n).alias("__sset"))
 
 
 def jaccard_on_pair_sets(
@@ -465,9 +476,7 @@ def near_dup_join(
             F.col(id_col).alias(out_id),
             F.col(text_col).alias(out_txt),
             *[F.col(c) for c in extra],
-            F.array_distinct(
-                F.transform(char_shingles(text_col, shingle_n), shingle_hash)
-            ).alias("__sset"),
+            _shingle_set_expr(text_col, shingle_n).alias("__sset"),
         )
         sig = sets.select(
             out_id, out_txt, *extra,
@@ -487,8 +496,8 @@ def near_dup_join(
     lb = banded_side(left, id_left, text_left, "__lid", "__ltxt", tuple(left_extra_cols))
     rb = banded_side(right, id_right, text_right, "__rid", "__rtxt")
     cand = lb.join(rb, ["band", "band_hash"])
-    sl = F.array_distinct(F.transform(char_shingles("__ltxt", shingle_n), shingle_hash))
-    sr = F.array_distinct(F.transform(char_shingles("__rtxt", shingle_n), shingle_hash))
+    sl = _shingle_set_expr("__ltxt", shingle_n)
+    sr = _shingle_set_expr("__rtxt", shingle_n)
     inter = F.size(F.array_intersect(sl, sr))
     union_sz = F.size(sl) + F.size(sr) - inter
     out = (
@@ -511,7 +520,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 50,
     algorithm: str = "auto",
-    max_local_pairs: int = 2_000_000,
+    max_local_pairs: int = 500_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs → ``(id, component)`` with
     component = the smallest member id.
@@ -520,9 +529,12 @@ def connected_components(
     (``limit(max_local_pairs+1).collect()``) sizes the edge list. An
     under-cap graph — the COMMON case: the input is the LSH-VERIFIED pair
     set, already pruned to actual near-dups — solves driver-side by
-    union-find (exact, microseconds; ≤ 2M pairs of two longs is ~32 MB, the
-    same bounded-collect discipline as the IVF fit sample), replacing ~K
-    rounds × ~4 Spark jobs of pure scheduling overhead with one job. An
+    union-find (exact, sub-second; the cap matches the broadcast probe's.
+    Honest memory math: 500k collected Rows cost ~100+ bytes each plus a
+    ≤1M-entry parent dict — order 100-200 MB transient driver memory, the
+    same bounded-collect discipline as the IVF fit sample, NOT the raw 16
+    bytes/pair), replacing ~K rounds × ~4 Spark jobs of pure scheduling
+    overhead with one job. An
     over-cap graph falls through to the distributed star path, paying only
     the probe (one evaluation of the pair chain — which the star path would
     spend on its own localCheckpoint anyway).

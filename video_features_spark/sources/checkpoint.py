@@ -243,14 +243,18 @@ def compact_manifest(spark: SparkSession, base_path: str) -> dict:
     compacted.write.mode("overwrite").parquet(new_dir)
     after = spark.read.parquet(new_dir).count()
     _flip_pointer(base_path, next_gen)
-    # best-effort cleanup of superseded manifests; failures leave garbage,
-    # never corruption (readers follow the pointer)
-    for stale in [cur_dir] + [
-        os.path.join(base_path, d)
-        for d in os.listdir(base_path)
-        if d.startswith("_manifest.g") and d != f"_manifest.g{next_gen}"
-    ]:
-        shutil.rmtree(stale, ignore_errors=True)
+    # GRACE-PERIOD cleanup: the JUST-superseded manifest (cur_dir) survives
+    # until the NEXT compaction — a reader that resolved the pointer an
+    # instant before the flip may still be reading it. Only strictly-older
+    # generations (and the legacy dir once a generation supersedes it) are
+    # removed now; best-effort — failures leave garbage, never corruption
+    # (readers follow the pointer).
+    keep = {os.path.basename(new_dir), os.path.basename(cur_dir)}
+    for d in os.listdir(base_path):
+        if d.startswith("_manifest.g") and d not in keep:
+            shutil.rmtree(os.path.join(base_path, d), ignore_errors=True)
+    if cur_dir != legacy and os.path.exists(legacy):
+        shutil.rmtree(legacy, ignore_errors=True)
     return {"rows_before": before, "rows_after": after, "generation": next_gen}
 
 
