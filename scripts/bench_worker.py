@@ -45,6 +45,15 @@ def materialize(df) -> None:
 
 
 def img_path(n: int) -> str:
+    # scale-study tables (small n) carry a fine 256-file layout so the scan
+    # can be split into ~cores*4 balanced tasks at EVERY parallelism level —
+    # with 64 coarse files the 32-core run degenerated to one 32-task wave
+    # (any straggler stalls the stage) while the 8-core run got 4
+    # self-balancing waves, and the asymmetry alone cost ~0.15 of measured
+    # 8→32 efficiency. Versioned name: a layout change must not silently
+    # reuse a stale coarse table from a previous round.
+    if n < 100_000:
+        return os.path.join(BENCH_DIR, f"images_{n}f256")
     return os.path.join(BENCH_DIR, f"images_{n}")
 
 
@@ -59,8 +68,9 @@ def prepare(n: int) -> None:
     spark = get_spark(app_name="bench-prepare")
     spark.sparkContext.setLogLevel("ERROR")
     n_ent = max(n // 50, 1)
+    parts = min(256, max(n // 50, 8)) if n < 100_000 else 64
     if not os.path.exists(img_path(n)):
-        generate_images(spark, n, n_entities=n_ent, partitions=64).write.mode(
+        generate_images(spark, n, n_entities=n_ent, partitions=parts).write.mode(
             "overwrite"
         ).parquet(img_path(n))
     if not os.path.exists(lbl_path(n)):
@@ -135,12 +145,26 @@ def timed_run(args) -> None:
     from video_features_spark.operators.features import extract_image_features
     from video_features_spark.session import get_spark
 
-    # CPU-heavy decode+embed UDF over ~25 KB rows: smaller input splits keep
-    # every core fed (128 MB default → too few tasks for the core count)
+    # CPU-heavy decode+embed UDF over ~25 KB rows: size input splits to
+    # ~cores*4 tasks (4 waves — balanced, straggler-tolerant) at THIS core
+    # count. A fixed split size can't serve both parallelism levels of the
+    # scaling pair: 16m gave the 8-core run 4 waves but the 32-core run a
+    # single 32-task wave. Clamped to [1m, 16m] so the 400k-image headline
+    # keeps its established ~16m layout.
+    import glob as _glob
+
+    total = sum(
+        os.path.getsize(f)
+        for f in _glob.glob(os.path.join(img_path(args.images), "*.parquet"))
+    )
+    split = min(max(total // (args.cores * 4), 1 << 20), 16 << 20) if total else 16 << 20
     spark = get_spark(
         app_name=f"bench-{args.cores}",
         cores=args.cores,
-        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(split),
+            "spark.sql.files.openCostInBytes": "65536",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -177,6 +201,11 @@ def timed_run(args) -> None:
     materialize(
         pipeline(spark.read.parquet(img_path(warm_n)), spark.read.parquet(lbl_path(warm_n)))
     )
+    # page-cache + footer prewarm of the ACTUAL input (JVM-only, ~0.2 s): the
+    # first timed rep otherwise pays cold reads of the main table that the
+    # small-twin warmup never touched
+    materialize(imgs)
+    materialize(labels)
 
     times = []
     for _ in range(args.reps):

@@ -91,7 +91,15 @@ def resize(
     return _resize_nhwc(arr[None].astype(np.float32), h, w, nh, nw, kind)[0]
 
 
-_GEMM_TILE = 8192  # fixed m per BLAS call — see _tiled_matmul
+# Fixed m per BLAS call — see _tiled_matmul. Any constant works for the
+# determinism contract (the kernel choice varies with m, not with row
+# position); 1024 keeps the pad-to-tile waste negligible for the small
+# per-Arrow-batch calls the Spark UDFs make (~80-500 rows/partition at bench
+# scale), where 8192 taxed every call with a mostly-padding GEMM (measured
+# ~3.5 ms/img at batch=80 on the 224px model). Values are unchanged: OpenBLAS
+# sgemm rounding here is identical for m=1024 vs 8192 (verified bit-exact on
+# the embed/resize shapes), and the determinism tests gate it.
+_GEMM_TILE = 1024
 
 
 def _tiled_matmul(t: np.ndarray, wt: np.ndarray) -> np.ndarray:
