@@ -39,6 +39,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--threshold", type=float, default=3.5)
     ap.add_argument("--target", type=float, default=0.8)
+    # A capture only counts when its DENOMINATOR is provably clean: a
+    # degraded lo side inflates efficiency (the first hunt capture "1.183"
+    # had lo at 491 img/s vs the ~990-1090 clean range — same upward-bias
+    # mode the r4 advice flagged for max-efficiency selection). Floor just
+    # under the cleanest observed lo at 32k images.
+    ap.add_argument("--lo-floor", type=float, default=950.0)
     ap.add_argument("--images", type=int, default=bench.SCALE_IMAGES)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--max-minutes", type=float, default=240)
@@ -70,8 +76,11 @@ def main() -> None:
         with open(args.log, "a") as f:
             f.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
-        if rec.get("efficiency", 0) >= args.target:
-            print("target met; exiting", flush=True)
+        if (
+            rec.get("efficiency", 0) >= args.target
+            and rec.get("lo", {}).get("images_per_sec", 0) >= args.lo_floor
+        ):
+            print("target met with clean lo; exiting", flush=True)
             return
         time.sleep(args.interval_sec)
 
