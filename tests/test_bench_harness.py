@@ -1,0 +1,92 @@
+"""Bench-harness selection logic — pure-python, no Spark.
+
+The scaling artifact's shipped (lo, hi) pair is chosen by bench._pick_best
+over the merged pool of in-run attempts and session-hunt captures
+(scripts/scale_hunt.py). These gates pin the two properties the r4 advisor
+review demanded: (1) a degraded-lo capture with INFLATED efficiency must
+never ship, (2) hunt captures only join the pool when they measured the same
+geometry (images / lo cores / hi cores) as this bench run.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def bench():
+    import signal
+
+    saved = (signal.getsignal(signal.SIGTERM), signal.getsignal(signal.SIGINT))
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)  # installs its own SIGTERM/SIGINT handlers
+    yield mod
+    signal.signal(signal.SIGTERM, saved[0])
+    signal.signal(signal.SIGINT, saved[1])
+
+
+def _pair(lo_ips, hi_ips, source=None):
+    eff = hi_ips / (lo_ips * 4.0)
+    rec = {
+        "lo": {"cores": 8, "images": 32000, "images_per_sec": lo_ips},
+        "hi": {"cores": 32, "images": 32000, "images_per_sec": hi_ips},
+        "efficiency": round(eff, 3),
+    }
+    if source:
+        rec["source"] = source
+    return rec
+
+
+def test_pick_best_rejects_inflated_degraded_lo(bench):
+    # a slowdown window hitting only the lo worker shrinks the denominator:
+    # 491 img/s lo gives "efficiency" 1.18 — physically impossible, must lose
+    # to the clean-lo pair even though its efficiency number is higher
+    inflated = _pair(491.3, 2325.6)
+    clean = _pair(1085.2, 2799.7)
+    assert bench._pick_best([inflated, clean]) is clean
+    assert bench._pick_best([clean, inflated]) is clean
+
+
+def test_pick_best_ties_break_by_efficiency(bench):
+    a = _pair(1000.0, 2800.0)
+    b = _pair(1000.0, 3200.0)
+    assert bench._pick_best([a, b]) is b
+
+
+def test_pick_best_empty(bench):
+    assert bench._pick_best([]) is None
+
+
+def test_hunt_captures_filtered_by_geometry_and_age(bench, tmp_path):
+    log = tmp_path / "hunt.jsonl"
+    rows = [
+        _pair(1018.6, 2898.0),                      # valid
+        {"ts": 1.0, "host_ratio": 2.8},             # probe-only line: skipped
+        "not json at all",                          # corrupt line: skipped
+        _pair(1049.6, 3025.4),                      # valid
+    ]
+    wrong_images = _pair(500.0, 1800.0)
+    wrong_images["lo"]["images"] = 16000            # different geometry: skipped
+    rows.insert(2, wrong_images)
+    with open(log, "w") as f:
+        for r in rows:
+            f.write((r if isinstance(r, str) else json.dumps(r)) + "\n")
+    caps = bench._load_hunt_captures(str(log))
+    assert [c["lo"]["images_per_sec"] for c in caps] == [1018.6, 1049.6]
+    assert all(c["source"] == "session_hunt" for c in caps)
+    # stale log (previous boot/session) is ignored entirely
+    old = time.time() - 13 * 3600
+    os.utime(log, (old, old))
+    assert bench._load_hunt_captures(str(log)) == []
+    assert bench._load_hunt_captures(str(tmp_path / "missing.jsonl")) == []
