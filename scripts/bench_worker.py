@@ -61,6 +61,13 @@ def lbl_path(n: int) -> str:
     return os.path.join(BENCH_DIR, f"labels_{n}")
 
 
+def _table_ready(path: str) -> bool:
+    """A bare directory check would silently reuse a HALF-WRITTEN table if a
+    previous prepare was killed mid-write (the dir appears before the commit);
+    Spark's committer drops _SUCCESS only after every file landed."""
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
 def prepare(n: int) -> None:
     from video_features_spark.session import get_spark
     from video_features_spark.sources.datagen import generate_images, generate_labels
@@ -69,11 +76,11 @@ def prepare(n: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     n_ent = max(n // 50, 1)
     parts = min(256, max(n // 50, 8)) if n < 100_000 else 64
-    if not os.path.exists(img_path(n)):
+    if not _table_ready(img_path(n)):
         generate_images(spark, n, n_entities=n_ent, partitions=parts).write.mode(
             "overwrite"
         ).parquet(img_path(n))
-    if not os.path.exists(lbl_path(n)):
+    if not _table_ready(lbl_path(n)):
         generate_labels(spark, n // 2, n_entities=n_ent, partitions=32).write.mode(
             "overwrite"
         ).parquet(lbl_path(n))
