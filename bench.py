@@ -359,7 +359,12 @@ def main() -> None:
     fails = 0
     # a clean early pair (>= 0.8) already IS the record — skip straight to
     # the hw pair instead of burning another full (lo, hi) measurement
-    while len(attempts) < max_attempts and not (best and best["efficiency"] >= 0.8):
+    while len(attempts) < max_attempts and not (
+        best
+        and best["efficiency"] >= 0.8
+        # an inflated degraded-lo pair must not stop the retries (see raw_met)
+        and best["lo"]["images_per_sec"] >= LO_CLEAN_FLOOR
+    ):
         # keep one post-prep attempt unconditional if the early one failed
         # (the scaling block IS the record); retries need headroom; a
         # deterministically-crashing worker must cost bounded attempts, not
@@ -427,8 +432,12 @@ def main() -> None:
     # as the budget is RICH: a clean-window raw >=0.8 pair is stronger
     # evidence than the normalization argument.
     def raw_met() -> bool:
+        # a degraded lo INFLATES efficiency (r4 advice) — an >=0.8 number
+        # only counts as the raw bar being met when its denominator is clean,
+        # otherwise a single inflated pair would halt the hunt AND ship
         return bool(
             lo_s and hi_s
+            and lo_s["images_per_sec"] >= LO_CLEAN_FLOOR
             and hi_s["images_per_sec"] / (lo_s["images_per_sec"] * ratio) >= 0.8
         )
 

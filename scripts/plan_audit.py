@@ -169,6 +169,34 @@ def main(sf_dir: str) -> int:
             failures.append("set verify broadcasts a shingle-set side")
             break
 
+    # 12b. the over-cap / 100 TB verify shape, audited DIRECTLY: at audit
+    #      scale minhash_dedup's bounded probe always localizes the
+    #      candidates, so the shuffle-pairs production variant (the one a
+    #      1000-executor run with millions of candidates takes) would
+    #      otherwise never be shape-asserted — a regression that broadcasts
+    #      the wide set side in THAT path is exactly the bug this audit
+    #      exists to pin. Building this plan runs no probe and no jobs.
+    from video_features_spark.operators.dedup import (
+        jaccard_on_pair_sets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    cands_lazy = lsh_candidate_pairs(
+        minhash_signatures(docs, "doc_id", "text", 32, 5), "doc_id", 8
+    )
+    p = plan_of(
+        jaccard_on_pair_sets(
+            docs, cands_lazy, "doc_id", "text", 5, 0.5, broadcast_pairs=False
+        )
+    )
+    if "ShuffledHashJoin" not in p:
+        failures.append("forced-shuffle set verify lost its shuffle-hash joins")
+    for block in p.split("\n\n"):
+        if "BroadcastExchange" in block and ("__sa" in block or "__sb" in block or "__sset" in block):
+            failures.append("forced-shuffle set verify broadcasts a shingle-set side")
+            break
+
     # 9. IVF centroid sample: top-k, not a global sort
     from video_features_spark.operators.similarity import _l2  # noqa: F401
 

@@ -58,6 +58,15 @@ def main() -> None:
     ap.add_argument("--stop-file", default="/tmp/scale_hunt.stop")
     args = ap.parse_args()
 
+    # the stop file is a kill signal for the PREVIOUS hunt (bench writes it
+    # at startup and nothing else ever removes it) — a fresh hunt launch
+    # means the operator wants hunting again, so clear it or every future
+    # hunt exits on its first loop iteration
+    try:
+        os.unlink(args.stop_file)
+    except OSError:
+        pass
+
     # idempotent, untimed: the worker's --prepare skips tables that already
     # exist, so only the first hunt at a new geometry pays the datagen cost
     bench.prepare_data(args.images)

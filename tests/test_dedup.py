@@ -139,6 +139,37 @@ def test_connected_components_chain_and_clique(spark):
     assert kept == {1, 10, 20}
 
 
+def test_connected_components_auto_evaluates_chain_once(spark):
+    """The auto probe must not re-evaluate the (usually expensive) upstream
+    pair chain when the graph is over the driver cap: the probe collects from
+    a localCheckpoint and the star path reuses the same materialization.
+    Counted with an accumulator in the chain, both sides of the cap."""
+    from pyspark.sql import functions as F
+
+    from video_features_spark.operators.dedup import connected_components
+
+    for cap in (1, 500_000):  # over-cap -> star path; under-cap -> union-find
+        acc = spark.sparkContext.accumulator(0)
+
+        @F.udf("long")
+        def traced(x):
+            acc.add(1)
+            return x
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        ).select(traced("id_a").alias("id_a"), F.col("id_b"))
+        comp = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs, max_local_pairs=cap).collect()
+        }
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        assert acc.value == 3, (
+            f"pair chain evaluated {acc.value / 3:.0f}x at cap={cap} "
+            "(must be exactly once)"
+        )
+
+
 def test_ivf_ann_recall_and_exactness_at_full_probe(spark, sf_dir):
     from video_features_spark.operators.similarity import ivf_ann_topk
 

@@ -277,7 +277,13 @@ def jaccard_on_pair_sets(
     (candidates are drawn from it), and zero-overlap pairs surface naturally
     with jaccard 0 — no re-anchor join needed."""
     if prefilter_ids is None:
-        prefilter_ids = broadcast_pairs
+        # NOT broadcast_pairs: broadcast only vouches for SMALLNESS, while
+        # the prefilter references `pairs` two more times — on a lazy
+        # candidate chain (the usual external input) that re-executes the
+        # whole signature+banding+self-join pipeline per reference. Only
+        # callers holding a LOCALIZED pair table (minhash_dedup after its
+        # bounded probe) should opt in.
+        prefilter_ids = False
     base_a = base_b = df
     if prefilter_ids:
         # pairs are a small LOCAL table here (the caller vouches — each
@@ -468,7 +474,7 @@ def near_dup_join(
     recompute of a candidate's shingle sets, traded against re-joining a
     stream to itself, which Structured Streaming forbids)."""
     if n_hashes % bands:
-        raise ValueError(f"n_hashes ({n_hashes}) must divide into bands ({bands})")
+        raise ValueError(f"bands ({bands}) must evenly divide n_hashes ({n_hashes})")
     rpb = n_hashes // bands
 
     def banded_side(df, id_col, text_col, out_id, out_txt, extra=()):
@@ -534,10 +540,11 @@ def connected_components(
     ≤1M-entry parent dict — order 100-200 MB transient driver memory, the
     same bounded-collect discipline as the IVF fit sample, NOT the raw 16
     bytes/pair), replacing ~K rounds × ~4 Spark jobs of pure scheduling
-    overhead with one job. An
-    over-cap graph falls through to the distributed star path, paying only
-    the probe (one evaluation of the pair chain — which the star path would
-    spend on its own localCheckpoint anyway).
+    overhead with one job. An over-cap graph falls through to the
+    distributed star path. The probe runs over a ``localCheckpoint`` of the
+    pair chain, so the chain evaluates exactly ONCE whichever path wins
+    (probing the raw chain would re-evaluate it in the star path's own
+    edge materialization).
 
     ``algorithm='star'``: alternating large-star/small-star contraction
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -554,9 +561,19 @@ def connected_components(
     the driver chokes long before the data does. This is the step that turns
     verified pairs into dedup groups (keep min(id) per component)."""
     if algorithm == "auto":
-        head = pairs.select(id_a, id_b).limit(max_local_pairs + 1).collect()
+        # Materialize the (usually lazy, usually expensive) pair chain ONCE
+        # and probe the materialized set: probing the raw chain would make
+        # the over-cap case evaluate it twice — once for this collect, again
+        # when the star path materializes its own edges. An under-cap set is
+        # <= cap rows so its checkpoint write is trivial; an over-cap set
+        # needed materializing for the star rounds anyway. (Callers passing
+        # an already-checkpointed table pay one redundant copy — bounded by
+        # the data size, never by the chain.)
+        local = pairs.select(id_a, id_b).localCheckpoint()
+        head = local.limit(max_local_pairs + 1).collect()
         if len(head) <= max_local_pairs:
-            return _cc_local_union_find(pairs, head, id_a, id_b)
+            return _cc_local_union_find(local, head, id_a, id_b)
+        pairs = local
         algorithm = "star"
     if algorithm == "star":
         return _cc_alternating_stars(pairs, id_a, id_b, max_iter)
