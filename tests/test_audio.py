@@ -282,3 +282,39 @@ def test_ffmpeg_adapter_decodes_compressed(spark):
         assert r["error"] is None
         by.setdefault(r["clip_id"], set()).add(r["example_idx"])
     assert set(by) == {"wav", "aac"} and by["wav"] == by["aac"]
+
+
+@given(data=st.data())
+@settings(max_examples=120, deadline=None)
+def test_audio_fuzz_adversarial_containers_raise_cleanly(data):
+    """Adversarial-container gate for the audio demux (same contract as the
+    AVI fuzzer in test_video.py): ANY truncation or byte mutation of a valid
+    WAV or mp4-PCM container either still demuxes or raises a plain
+    ``Exception`` subclass the operator quarantine catches — never a hang,
+    never an unbounded allocation from a corrupt size field."""
+    from video_features_spark.functions.wav import demux_audio, encode_mp4_pcm
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 7)))
+    pcm = (rng.standard_normal(400) * 8000).astype(np.int16)
+    container = data.draw(st.sampled_from(["wav", "mp4"]))
+    blob = bytearray(
+        encode_wav(pcm, 8000) if container == "wav" else encode_mp4_pcm(pcm, 8000)
+    )
+    mode = data.draw(st.sampled_from(["truncate", "mutate", "both"]))
+    if mode in ("truncate", "both"):
+        blob = blob[: data.draw(st.integers(0, len(blob)))]
+    if mode in ("mutate", "both") and len(blob):
+        for _ in range(data.draw(st.integers(1, 4))):
+            pos = data.draw(st.integers(0, len(blob) - 1))
+            blob[pos] = data.draw(st.integers(0, 255))
+    try:
+        x, sr = demux_audio(bytes(blob), allow_ffmpeg=False)
+    except Exception:
+        pass  # quarantine path: any Exception subclass is caught upstream
+    except BaseException as e:  # noqa: BLE001
+        raise AssertionError(
+            f"demux raised a non-Exception {type(e).__name__}: the operator "
+            "quarantine would not catch it"
+        ) from e
+    else:
+        assert sr > 0 and isinstance(x, np.ndarray)

@@ -291,3 +291,38 @@ def test_pad_to_multiple_and_unpad():
     img = _img(3, 32, 64)
     padded, pads = pad_to_multiple(img, 8)
     assert pads == (0, 0, 0, 0) and (padded == img).all()
+
+
+@given(data=st.data())
+@settings(max_examples=150, deadline=None)
+def test_image_fuzz_adversarial_blobs_raise_cleanly(data):
+    """Adversarial-blob gate for the image codecs (same contract as the AVI
+    and audio fuzzers): ANY truncation or byte mutation of a valid
+    PNG/JPEG/qjpg blob either still decodes or raises a plain ``Exception``
+    subclass — never a hang, never a multi-GB allocation from
+    header-claimed dimensions (MAX_DECODE_PIXELS guards), never a deflate
+    bomb handed uncapped memory (PNG decompression is length-capped)."""
+    from video_features_spark.functions.codec import decode_image, encode_image
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 7)))
+    img = rng.integers(0, 255, (12, 16, 3), dtype=np.uint8)
+    fmt = data.draw(st.sampled_from(["png", "jpeg", "qjpg"]))
+    blob = bytearray(encode_image(img, fmt))
+    mode = data.draw(st.sampled_from(["truncate", "mutate", "both"]))
+    if mode in ("truncate", "both"):
+        blob = blob[: data.draw(st.integers(0, len(blob)))]
+    if mode in ("mutate", "both") and len(blob):
+        for _ in range(data.draw(st.integers(1, 4))):
+            pos = data.draw(st.integers(0, len(blob) - 1))
+            blob[pos] = data.draw(st.integers(0, 255))
+    try:
+        out = decode_image(bytes(blob))
+    except Exception:
+        pass  # quarantine path: any Exception subclass is caught upstream
+    except BaseException as e:  # noqa: BLE001
+        raise AssertionError(
+            f"decode raised a non-Exception {type(e).__name__}: the operator "
+            "quarantine would not catch it"
+        ) from e
+    else:
+        assert out.dtype == np.uint8 and out.ndim == 3

@@ -114,7 +114,19 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
     if bitdepth != 8 or colortype != 2:
         raise ValueError(f"unsupported PNG (bitdepth={bitdepth}, colortype={colortype})")
-    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    from .jpeg import MAX_DECODE_PIXELS
+
+    if not h or not w or h * w > MAX_DECODE_PIXELS:
+        raise ValueError(f"corrupt PNG: implausible dimensions {w}x{h}")
+    # decompress EXACTLY the pixel-data size the header implies (+1 to detect
+    # excess): an uncapped zlib.decompress would hand an adversarial deflate
+    # bomb unbounded memory before the reshape below ever catches it
+    want = h * (w * 3 + 1)
+    dec = zlib.decompressobj()
+    raw_bytes = dec.decompress(idat, want + 1)
+    if len(raw_bytes) != want:
+        raise ValueError("corrupt PNG: pixel data length mismatch")
+    raw = np.frombuffer(raw_bytes, np.uint8)
     return _unfilter(raw, h, w * 3, 3).reshape(h, w, 3)
 
 

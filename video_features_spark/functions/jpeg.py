@@ -21,6 +21,14 @@ import struct
 
 import numpy as np
 
+# Decode-side sanity cap on header-claimed dimensions. A corrupt/adversarial
+# SOF claiming 65535x65535 would otherwise drive a multi-GB plane allocation
+# per quarantined row BEFORE any entropy-data error surfaces — on a shared
+# executor several such rows can OOM-kill the process instead of raising the
+# Exception the per-row quarantine expects. 100 MP is far above any sane
+# training image while keeping worst-case transient planes ~400 MB.
+MAX_DECODE_PIXELS = 100_000_000
+
 # zigzag scan order (T.81 Figure A.6): index i holds the raster position of
 # the i-th zigzagged coefficient
 ZIGZAG = np.array([
@@ -197,6 +205,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 i += 17 + n
         elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (baseline)
             h, w = struct.unpack(">HH", seg[1:5])
+            if not h or not w or h * w > MAX_DECODE_PIXELS:
+                raise ValueError(f"corrupt JPEG: implausible dimensions {w}x{h}")
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
