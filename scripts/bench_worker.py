@@ -51,8 +51,10 @@ def img_path(n: int) -> str:
     # (any straggler stalls the stage) while the 8-core run got 4
     # self-balancing waves, and the asymmetry alone cost ~0.15 of measured
     # 8→32 efficiency. Versioned name: a layout change must not silently
-    # reuse a stale coarse table from a previous round.
-    if n < 100_000:
+    # reuse a stale coarse table from a previous round. Threshold 200k (was
+    # 100k): the amortized scale-study sizes (96k/160k) all need the fine
+    # layout; only the 400k headline keeps its established coarse table.
+    if n < 200_000:
         return os.path.join(BENCH_DIR, f"images_{n}f256")
     return os.path.join(BENCH_DIR, f"images_{n}")
 
@@ -75,7 +77,9 @@ def prepare(n: int) -> None:
     spark = get_spark(app_name="bench-prepare")
     spark.sparkContext.setLogLevel("ERROR")
     n_ent = max(n // 50, 1)
-    parts = min(256, max(n // 50, 8)) if n < 100_000 else 64
+    # MUST mirror img_path's fine-layout threshold: a 256-file NAME holding a
+    # 64-file table would silently reintroduce the wave-imbalance bias
+    parts = min(256, max(n // 50, 8)) if n < 200_000 else 64
     if not _table_ready(img_path(n)):
         generate_images(spark, n, n_entities=n_ent, partitions=parts).write.mode(
             "overwrite"
