@@ -90,6 +90,40 @@ def test_pick_best_no_clean_lo_falls_back_to_fastest_lo(bench):
     assert bench._pick_best([worse, better]) is better
 
 
+@pytest.fixture(scope="module")
+def bench_worker():
+    spec = importlib.util.spec_from_file_location(
+        "bench_worker_under_test", os.path.join(REPO, "scripts", "bench_worker.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_retry_plan_targets_only_over_ceiling(bench_worker):
+    # clean-window timings never retry (cost 0 in the common case); a query
+    # past its ceiling retries — cheapest inflated first, so a tight budget
+    # rescues the most entries
+    qtimes = {
+        "tpch_q1": 0.7,                   # default ceiling, clean
+        "video_frames": 29.3,             # ceiling 11: the r5 degraded capture
+        "stream_asof": 13.5,              # ceiling 8
+        "curate_corpus": 27.4,            # ceiling 34: inside its band
+    }
+    assert bench_worker.retry_plan(qtimes) == ["stream_asof", "video_frames"]
+    assert bench_worker.retry_plan({"tpch_q1": 0.7, "curate_corpus": 27.0}) == []
+
+
+def test_retry_plan_budget_bound(bench_worker):
+    # estimated spend = first-pass timings; the plan stops before exceeding
+    # the budget rather than dropping cheaper rescues for an expensive one
+    qtimes = {"stream_asof": 30.0, "video_frames": 28.0, "dedup_groups": 50.0}
+    assert bench_worker.retry_plan(qtimes, budget=60.0) == [
+        "video_frames", "stream_asof"
+    ]
+    assert bench_worker.retry_plan(qtimes, budget=20.0) == []
+
+
 def test_hunt_captures_filtered_by_geometry_and_age(bench, tmp_path):
     log = tmp_path / "hunt.jsonl"
     rows = [
