@@ -53,6 +53,19 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _dsum(col, scale: int = 6):
+    """Order-independent sum of a double column for hash-compared aggregates:
+    accumulate in decimal (associative/exact), cast to double AFTER the sum.
+    Float summation order varies with Spark's partial-agg scheduling, so a
+    bare ``F.sum(double)`` is flaky under the driver's exact value-hash (the
+    r5 ``checkpoint_resume`` red row). DuckDB twin:
+    ``(sum(col::DECIMAL(18,scale)))::DOUBLE`` — verified correctly rounded on
+    this data at sf0.01/sf0.1. Source values are ≤2dp, so the decimal cast is
+    lossless at scale≥2."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
 def _order_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build side for the as-of queries: unique (user_id, o_orderdate) so the
     as-of answer is engine-independent."""
@@ -146,7 +159,7 @@ def _q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id"],
         "ts",
         "1 day",
-        [F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")],
+        [F.count(F.lit(1)).alias("n_events"), _dsum("value").alias("sum_value")],
     ).select("user_id", "win_start", "n_events", "sum_value")
 
 
@@ -179,9 +192,11 @@ def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _read(spark, sf_dir, "lineitem")
+    # avg as decimal-sum/count (not F.avg): a double mean is order-dependent
+    # in its last ulp under partial-agg scheduling — same class as _dsum
     return li.agg(
         F.min("l_quantity").alias("min_qty"),
-        F.avg("l_quantity").alias("avg_qty"),
+        (_dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
         F.max("l_quantity").alias("max_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
@@ -231,11 +246,11 @@ def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_discount").alias("avg_disc"),
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            (_dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (_dsum("l_discount") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -253,7 +268,7 @@ def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
@@ -271,7 +286,8 @@ def _q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderpriority, o_orderstatus,
-               sum(o_totalprice) AS sum_price, count(1) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               count(1) AS n_orders,
                grouping_id(o_orderpriority, o_orderstatus) AS gid
         FROM __gs_orders
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
@@ -842,7 +858,7 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            _dsum("value").alias("sum_value"),
             F.max("feat_price").alias("feat_price"),
         )
     )
@@ -1078,7 +1094,7 @@ def _q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_checkpointed(spark, base)
         .agg(
             F.count(F.lit(1)).alias("rows_total"),
-            F.sum("o_totalprice").alias("sum_totalprice"),
+            _dsum("o_totalprice", scale=2).alias("sum_totalprice"),
         )
         .select(
             F.lit(stats["parts_total"]).alias("parts_total"),
@@ -2114,7 +2130,8 @@ def _checkpoint_resume_oracle() -> str:
     return f"""
         SELECT {num_parts}::INT AS parts_total, {skipped}::INT AS parts_skipped,
                {resumed}::INT AS parts_resumed, 0::INT AS drift_rows,
-               count(*) AS rows_total, sum(o_totalprice) AS sum_totalprice
+               count(*) AS rows_total,
+               (sum(o_totalprice::DECIMAL(18,2)))::DOUBLE AS sum_totalprice
         FROM orders
     """
 
@@ -2493,7 +2510,7 @@ def oracle_sql() -> dict[str, str]:
                  count(*) OVER (PARTITION BY user_id) AS n
           FROM events)
         SELECT user_id, i AS stack_start_idx,
-               avg(value) OVER w AS stack_agg,
+               (sum(value::DECIMAL(18,6)) OVER w)::DOUBLE / count(*) OVER w AS stack_agg,
                last_value(ts) OVER w AS stack_end_ts
         FROM idx
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -2547,12 +2564,14 @@ def oracle_sql() -> dict[str, str]:
         "sliding_stacks": qualify_stacks,
         "tumbling_daily": """
             SELECT user_id, date_trunc('day', ts) AS win_start,
-                   count(*) AS n_events, sum(value) AS sum_value
+                   count(*) AS n_events,
+                   (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "stream_tumbling": """
             SELECT user_id, date_trunc('day', ts) AS win_start,
-                   count(*) AS n_events, sum(value) AS sum_value
+                   count(*) AS n_events,
+                   (sum(value::DECIMAL(18,6)))::DOUBLE AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "rolling_7d": """
@@ -2571,7 +2590,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "stats_lineitem": """
-            SELECT min(l_quantity) AS min_qty, avg(l_quantity) AS avg_qty,
+            SELECT min(l_quantity) AS min_qty,
+                   (sum(l_quantity::DECIMAL(18,6)))::DOUBLE / count(*) AS avg_qty,
                    max(l_quantity) AS max_qty, count(*) AS n_rows
             FROM lineitem
         """,
@@ -2585,11 +2605,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
-                   sum(l_quantity) AS sum_qty,
-                   sum(l_extendedprice) AS sum_base_price,
-                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-                   avg(l_quantity) AS avg_qty,
-                   avg(l_discount) AS avg_disc,
+                   (sum(l_quantity::DECIMAL(18,6)))::DOUBLE AS sum_qty,
+                   (sum(l_extendedprice::DECIMAL(18,6)))::DOUBLE AS sum_base_price,
+                   (sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)))::DOUBLE AS sum_disc_price,
+                   (sum(l_quantity::DECIMAL(18,6)))::DOUBLE / count(*) AS avg_qty,
+                   (sum(l_discount::DECIMAL(18,6)))::DOUBLE / count(*) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -2597,7 +2617,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q3": """
             SELECT l_orderkey, o_orderdate, o_orderpriority,
-                   sum(l_extendedprice * (1 - l_discount)) AS revenue
+                   (sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,6)))::DOUBLE AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -2610,7 +2630,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "grouping_sets_sales": """
             SELECT o_orderpriority, o_orderstatus,
-                   sum(o_totalprice) AS sum_price, count(*) AS n_orders,
+                   (sum(o_totalprice::DECIMAL(18,2)))::DOUBLE AS sum_price,
+                   count(*) AS n_orders,
                    grouping(o_orderpriority, o_orderstatus) AS gid
             FROM orders
             GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
@@ -2638,7 +2659,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "bucketed_join": """
-            SELECT e.user_id, count(*) AS n_events, sum(e.value) AS sum_value,
+            SELECT e.user_id, count(*) AS n_events,
+                   (sum(e.value::DECIMAL(18,6)))::DOUBLE AS sum_value,
                    max(f.feat_price) AS feat_price
             FROM events e
             JOIN (SELECT o_custkey AS user_id, max(o_totalprice) AS feat_price

@@ -55,12 +55,15 @@ def test_stream_tumbling_equals_batch(spark, events_dir):
     ).select("user_id", "win_start", "n_events", "sum_value")
     batch = tumbling_window_agg(
         spark.read.parquet(events_dir), ["user_id"], "ts", "1 day",
-        [F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        ],
     ).select("user_id", "win_start", "n_events", "sum_value")
-    # float sums differ in addition order between streaming partials and
-    # batch partials — compare rounded
-    got = {(r[0], r[1], r[2], round(r[3], 6)) for r in res.collect()}
-    want = {(r[0], r[1], r[2], round(r[3], 6)) for r in batch.collect()}
+    # both sides accumulate in decimal (associative) ⇒ parity is bit-exact
+    # regardless of streaming-partial vs batch-partial merge order
+    got = {tuple(r) for r in res.collect()}
+    want = {tuple(r) for r in batch.collect()}
     assert got == want
 
 

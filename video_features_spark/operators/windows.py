@@ -191,7 +191,20 @@ def sliding_stacks(
     aggregate over a *forward* frame we also grab the frame-end timestamp via
     the same window spec.
     """
-    aggs = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+    # sum/avg accumulate in decimal and cast to double AFTER (rolling_range_agg
+    # rationale): Spark evaluates the frame in sorted order but DuckDB's
+    # segment-tree windowed sums do not, so a float frame-sum can differ in
+    # its last ulp between engines; decimal addition is associative/exact.
+    aggs = {
+        "count": lambda c, w: F.count(c).over(w),
+        "sum": lambda c, w: F.sum(c.cast("decimal(18,6)")).over(w).cast("double"),
+        "avg": lambda c, w: (
+            F.sum(c.cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ),
+        "min": lambda c, w: F.min(c).over(w),
+        "max": lambda c, w: F.max(c).over(w),
+    }
     if agg not in aggs:
         raise ValueError(f"agg must be one of {sorted(aggs)}")
     w_order = _w(entity_cols, order_col, tiebreak_col)
@@ -201,7 +214,7 @@ def sliding_stacks(
     return (
         df.withColumn("_idx", idx)
         .withColumn("_n", n)
-        .withColumn("stack_agg", aggs[agg](value_col).over(w_frame))
+        .withColumn("stack_agg", aggs[agg](F.col(value_col), w_frame))
         .withColumn("stack_end_ts", F.last(order_col).over(w_frame))
         # form_slices semantics: start at idx 0, advance by step, keep complete only
         .filter((F.col("_idx") % step_size == 0) & (F.col("_idx") + stack_size <= F.col("_n")))

@@ -44,7 +44,12 @@ def stream_tumbling_agg(
     return (
         _tz(sdf, ts_col).withWatermark(ts_col, watermark)
         .groupBy(*entity_cols, win.alias("win"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        # decimal accumulate → double after: batch-twin parity must be exact
+        # and float sum order varies with state-store merge order
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
         .withColumn("win_start", F.col("win.start"))
         .withColumn("win_end", F.col("win.end"))
         .drop("win")
