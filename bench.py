@@ -192,6 +192,27 @@ def host_ratio() -> "float | None":
         return None
 
 
+LINE_CAP = 1800  # driver records the LAST 2000 chars of stdout; keep headroom
+
+
+def _fit_line(result: dict) -> str:
+    """Hard guard on the one-line artifact (r5: a 3.4 KB attempts history
+    overflowed the driver's tail capture and the round recorded parsed:null).
+    Degrade gracefully — drop retry detail, then inline attempts — before
+    ever overflowing. Mutates ``result``."""
+    line = json.dumps(result)
+    if len(line) > LINE_CAP:
+        result.pop("queries_retried", None)
+        line = json.dumps(result)
+    if len(line) > LINE_CAP and "attempts" in result.get("scaling", {}):
+        result["scaling"]["attempts"] = result["scaling"]["attempts"][:1]
+        line = json.dumps(result)
+    if len(line) > LINE_CAP and "attempts" in result.get("scaling", {}):
+        result["scaling"]["attempts"] = []
+        line = json.dumps(result)
+    return line
+
+
 def _pick_best(attempts: list) -> "dict | None":
     """Which (lo, hi) attempt pair ships as the headline scaling numbers.
     NOT unconditional max-efficiency (r4 advice: a slowdown window hitting
@@ -352,9 +373,38 @@ def main() -> None:
             # a sub-0.5 raw first pair means a degraded window, not a scaling
             # property (clean captures run 0.795-0.987) — widen the hunt
             max_attempts = 5
+    # ---- Phase 2 (moved BEFORE headline prep and spark-pair retries, r6):
+    # the hw-ceiling pair is the normalized-clause DENOMINATOR — r5 shipped
+    # hw_hi=null and the whole normalized fallback evaporated from the
+    # artifact. Measuring it here (same cheap window as the early spark pair,
+    # scale data already prepared) guarantees all four raw numbers land, and
+    # sampling it ADJACENT to the early spark pair is exactly what makes the
+    # normalization defensible (same co-tenant window).
+    def hw_side(label: str, cores: int) -> "dict | None":
+        # one bounded retry per side: a crashed/timed-out worker must not
+        # null the denominator (r5 failure mode)
+        for attempt_i in range(2):
+            try:
+                out = _timed(label if attempt_i == 0 else f"{label}_retry",
+                             run_worker, cores, SCALE_IMAGES, hw=True,
+                             model=SCALE_MODEL, reps=2, timeout=300)
+                time.sleep(settle)
+                return out
+            except Exception as e:  # noqa: BLE001
+                sys.stderr.write(f"[bench] {label} failed: {e}\n")
+        return None
+
+    hw_lo = hw_side("hw_lo", CORES_LO)
+    hw_hi = hw_side("hw_hi", CPUS) if hw_lo else None
+    # 4x cores delivering LESS absolute throughput than 1x is physically
+    # nonsensical for a compute-bound kernel — a slowdown window hit one side
+    if hw_lo and hw_hi and hw_hi["images_per_sec"] < hw_lo["images_per_sec"]:
+        retried = hw_side("hw_hi_nonmono", CPUS)
+        hw_hi = _better(hw_hi, retried)
+
     _timed("prepare_headline", prepare_data, N_IMAGES)
 
-    hw_room = 150  # spark-pair retries may not starve the hw-ceiling pair
+    hw_room = 150  # budget share for phase-5 hw-ceiling refreshes
     best = _pick_best(attempts + hunt)
     fails = 0
     # a clean early pair (>= 0.8) already IS the record — skip straight to
@@ -381,32 +431,6 @@ def main() -> None:
         best = _pick_best(attempts + hunt)
     lo_s = best["lo"] if best else None
     hi_s = best["hi"] if best else None
-
-    # ---- Phase 2: hardware ceiling — the identical kernel under a raw
-    # multiprocessing pool (no Spark, no JVM) bounds what ANY engine could
-    # scale on this shared-memory box. All four raw numbers must ship.
-    hw_lo = hw_hi = None
-    try:
-        if in_budget(query_reserve):  # may spend the headline reserve only if forced
-            hw_lo = _timed("hw_lo", run_worker, CORES_LO, SCALE_IMAGES, hw=True,
-                           model=SCALE_MODEL, reps=2, timeout=300)
-            time.sleep(settle)
-        if hw_lo and in_budget(query_reserve):
-            hw_hi = _timed("hw_hi", run_worker, CPUS, SCALE_IMAGES, hw=True,
-                           model=SCALE_MODEL, reps=2, timeout=300)
-            time.sleep(settle)
-    except Exception as e:  # noqa: BLE001 - hw pair is evidence, not the metric
-        sys.stderr.write(f"[bench] hw ceiling phase failed: {e}\n")
-    # 4x cores delivering LESS absolute throughput than 1x is physically
-    # nonsensical for a compute-bound kernel — a slowdown window hit one side
-    if hw_lo and hw_hi and hw_hi["images_per_sec"] < hw_lo["images_per_sec"] \
-            and in_budget(tail_reserve):
-        hw_hi = _better(
-            hw_hi,
-            _timed("hw_hi_retry", run_worker, CPUS, SCALE_IMAGES, hw=True,
-                   model=SCALE_MODEL, reps=2),
-        )
-        time.sleep(settle)
 
     # ---- Phase 3: headline throughput (the metric's "value"), floor-retried:
     # a capture under the BASELINE.md band's low edge means a degraded window
@@ -505,6 +529,12 @@ def main() -> None:
     hw_efficiency = (
         hw_hi["images_per_sec"] / (hw_lo["images_per_sec"] * ratio) if hw_lo and hw_hi else None
     )
+    # r5 lesson: when NOTHING cleared the clean-lo floor, the shipped pair is
+    # a degraded-lo capture and its efficiency is inflated by construction —
+    # ship the raw lo/hi numbers but score efficiency null + the floor missed
+    # rather than promoting a sub-floor pair to the headline field.
+    shipped_clean = bool(lo_s and lo_s["images_per_sec"] >= LO_CLEAN_FLOOR)
+    raw_eff_scored = round(efficiency, 3) if efficiency and shipped_clean else None
     sf = 0.1
     m = re.search(r"sf([\d.]+)", SF_DIR)
     if m:
@@ -538,7 +568,12 @@ def main() -> None:
             # host; the committed study lives in BASELINE.md "Measured results"
             "images_per_sec_lo": lo_s["images_per_sec"] if lo_s else None,
             "images_per_sec_hi": hi_s["images_per_sec"] if hi_s else None,
-            "efficiency": round(efficiency, 3) if efficiency else None,
+            # null when the shipped lo is sub-floor: a degraded denominator
+            # inflates this ratio, so a sub-floor pair ships UNSCORED (raw
+            # numbers above tell the story; the floor it missed is below)
+            "efficiency": raw_eff_scored,
+            "lo_clean_floor": LO_CLEAN_FLOOR,
+            **({"no_clean_capture": True} if (lo_s and not shipped_clean) else {}),
             # same kernel, raw multiprocessing pool, no Spark/JVM: what this
             # shared-memory box itself can scale 8→32 (LLC/bandwidth bound)
             "hw_ceiling_images_per_sec_lo": hw_lo["images_per_sec"] if hw_lo else None,
@@ -559,35 +594,63 @@ def main() -> None:
             "efficiency_headline": (
                 round(min(efficiency / hw_efficiency, 1.0), 3)
                 if efficiency and hw_efficiency
-                else (round(efficiency, 3) if efficiency else None)
+                else raw_eff_scored
             ),
             # where the shipped pair came from: "bench" = measured in this
             # bench run; "session_hunt" = the identical measurement captured
             # by scripts/scale_hunt.py earlier in the session, gated on a
             # clean co-tenant probe (raw record in the attempts list below)
             "source": (best or {}).get("source", "bench"),
-            # every measured (lo, hi) pair, raw — the shipped lo/hi above
-            # are chosen by _pick_best's two-tier rule (max efficiency among
-            # clean-lo attempts, else fastest lo; see its docstring)
+            # the full attempt history goes to stderr + a side file (below):
+            # r5's 10-entry inline list overflowed the driver's 2000-char
+            # tail capture and the whole line recorded as parsed:null. Inline:
+            # at most the TOP-2 attempts by (clean-lo, efficiency) — the
+            # shipped pair is always among them by _pick_best's rule.
+            "attempts_total": len(attempts) + len(hunt),
             "attempts": [
                 {
                     "images": a["lo"].get("images"),
                     "images_per_sec_lo": a["lo"]["images_per_sec"],
                     "images_per_sec_hi": a["hi"]["images_per_sec"],
                     "efficiency": a["efficiency"],
-                    # co-tenant probes sampled just before the pair and just
-                    # after its hi run: ~4.0 = idle box, ~1.0 = saturated
-                    # socket (see host_ratio). The post probe labels the
-                    # window the hi side actually ran in.
-                    "host_ratio": a.get("host_ratio"),
+                    # co-tenant probe right after the hi run: ~4.0 = idle
+                    # box, ~1.0 = saturated socket (see host_ratio)
                     "host_ratio_post": a.get("host_ratio_post"),
                     "source": a.get("source", "bench"),
                 }
-                for a in attempts + hunt
+                for a in sorted(
+                    attempts + hunt,
+                    key=lambda a: (
+                        a["lo"]["images_per_sec"] >= LO_CLEAN_FLOOR,
+                        a["efficiency"],
+                    ),
+                    reverse=True,
+                )[:2]
             ],
         },
     }
-    print(json.dumps(result))
+    # full raw history (every attempt, both probes) — side file + stderr,
+    # never the one-line artifact
+    full_attempts = [
+        {
+            "images": a["lo"].get("images"),
+            "images_per_sec_lo": a["lo"]["images_per_sec"],
+            "images_per_sec_hi": a["hi"]["images_per_sec"],
+            "efficiency": a["efficiency"],
+            "host_ratio": a.get("host_ratio"),
+            "host_ratio_post": a.get("host_ratio_post"),
+            "source": a.get("source", "bench"),
+        }
+        for a in attempts + hunt
+    ]
+    try:
+        with open(os.path.join(REPO, "BENCH_ATTEMPTS.json"), "w") as f:
+            json.dump({"ts": time.time(), "attempts": full_attempts}, f, indent=1)
+    except OSError:
+        pass
+    sys.stderr.write(f"[bench] full attempts: {json.dumps(full_attempts)}\n")
+
+    print(_fit_line(result))
 
 
 if __name__ == "__main__":

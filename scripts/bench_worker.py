@@ -319,10 +319,19 @@ def _run_queries(spark, args, out: dict) -> None:
         materialize(qs[name](spark, args.sf_dir))
         qtimes[name] = round(time.time() - t0, 3)
     retried = {}
+    # the plan bounds ESTIMATED spend; this loop additionally bounds REAL
+    # wall-clock (advice r5: a persisting degraded window can make each retry
+    # run far past its first-pass estimate, overrunning the phase reserve)
+    retry_t0 = time.time()
     for name in retry_plan(qtimes):
+        if time.time() - retry_t0 > RETRY_BUDGET_SEC:
+            break
         t0 = time.time()
         materialize(qs[name](spark, args.sf_dir))
         dt = round(time.time() - t0, 3)
+        # warm-rerun bias note: the retry reruns in the same warm session, so
+        # min(first, retry) is best-of-two, not single-shot — both timings
+        # ship in queries_retried so consumers can see which semantics apply
         retried[name] = [qtimes[name], dt]
         qtimes[name] = min(qtimes[name], dt)
     out["queries"] = qtimes

@@ -149,3 +149,41 @@ def test_hunt_captures_filtered_by_geometry_and_age(bench, tmp_path):
     os.utime(log, (old, old))
     assert bench._load_hunt_captures(str(log)) == []
     assert bench._load_hunt_captures(str(tmp_path / "missing.jsonl")) == []
+
+
+def test_fit_line_stays_under_cap(bench):
+    """r5 regression: the one-line artifact must stay under the driver's
+    2000-char tail capture no matter how many attempts/retries accumulated."""
+    att = {
+        "images": 96000, "images_per_sec_lo": 1018.53,
+        "images_per_sec_hi": 2951.21, "efficiency": 0.725,
+        "host_ratio_post": 3.89, "source": "session_hunt",
+    }
+    result = {
+        "metric": "images_per_sec_e2e", "value": 33154.2, "unit": "images/sec",
+        "queries": {f"query_name_{i:02d}": 12.345 for i in range(40)},
+        "queries_retried": {f"query_name_{i:02d}": [29.3, 6.5] for i in range(12)},
+        "sf": 0.1, "images": 400000, "e2e_sec": 12.06,
+        "scaling": {
+            "cores_lo": 8, "cores_hi": 32, "model": "clip-vit-b32-det",
+            "images": 96000, "images_per_sec_lo": 1018.53,
+            "images_per_sec_hi": 2951.21, "efficiency": 0.725,
+            "lo_clean_floor": 950.0,
+            "hw_ceiling_images_per_sec_lo": 1442.64,
+            "hw_ceiling_images_per_sec_hi": 3100.0,
+            "hw_ceiling_efficiency": 0.537, "efficiency_vs_hw_ceiling": 1.0,
+            "efficiency_headline": 1.0, "source": "session_hunt",
+            "attempts_total": 10, "attempts": [dict(att) for _ in range(10)],
+        },
+    }
+    line = bench._fit_line(result)
+    assert len(line) <= bench.LINE_CAP
+    parsed = json.loads(line)  # the driver must be able to parse it
+    # the headline fields survive every degradation step
+    assert parsed["value"] == 33154.2
+    assert parsed["queries"]
+    assert parsed["scaling"]["efficiency_headline"] == 1.0
+
+    # a small result is passed through untouched
+    small = {"metric": "m", "value": 1, "queries": {"a": 1.0}, "scaling": {"attempts": []}}
+    assert json.loads(bench._fit_line(small)) == small
