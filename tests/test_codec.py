@@ -326,3 +326,133 @@ def test_image_fuzz_adversarial_blobs_raise_cleanly(data):
         ) from e
     else:
         assert out.dtype == np.uint8 and out.ndim == 3
+
+
+def test_png_grayscale_roundtrip_replicates_luma():
+    """Colortype 0 (VERDICT r5 gap: scraped corpora are full of non-RGB
+    PNGs): decode replicates the gray channel to H×W×3, the reference's
+    cv2/PIL convert-to-RGB behavior (utils/io.py:131)."""
+    gray = np.random.default_rng(3).integers(0, 256, (33, 21), dtype=np.uint8)
+    out = decode_png(encode_png(gray))
+    assert out.shape == (33, 21, 3)
+    assert (out == gray[:, :, None]).all()
+
+
+def test_png_rgba_roundtrip_drops_alpha():
+    """Colortype 6: alpha is dropped, not composited (cv2 IMREAD_COLOR /
+    PIL convert('RGB') both discard it)."""
+    rgb = _img(7, 19, 28)
+    alpha = np.random.default_rng(8).integers(0, 256, (19, 28, 1), dtype=np.uint8)
+    out = decode_png(encode_png(np.concatenate([rgb, alpha], axis=2)))
+    assert (out == rgb).all()
+
+
+def test_png_gray_alpha_roundtrip():
+    """Colortype 4: luma replicated, alpha dropped."""
+    gray = np.random.default_rng(11).integers(0, 256, (17, 23), dtype=np.uint8)
+    alpha = np.random.default_rng(12).integers(0, 256, (17, 23), dtype=np.uint8)
+    out = decode_png(encode_png(np.stack([gray, alpha], axis=2)))
+    assert (out == gray[:, :, None]).all()
+
+
+def test_png_palette_roundtrip():
+    """Colortype 3: indices resolve through PLTE to RGB."""
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (25, 31), dtype=np.uint8)
+    out = decode_png(encode_png(idx, palette=pal))
+    assert (out == pal[idx]).all()
+
+
+def test_png_palette_corruption_raises():
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    idx = np.zeros((4, 4), np.uint8)
+    data = bytearray(encode_png(idx, palette=pal))
+    # splice an out-of-range index directly into the IDAT pixel stream
+    import struct
+    import zlib
+
+    from video_features_spark.functions.codec import _PNG_SIG, _chunk
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    raw = bytes([0, 200, 0, 0, 0] * 4)  # filter-0 rows, index 200 > 15
+    bad = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(bad)
+    # palette image with the PLTE chunk stripped entirely
+    no_plte = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes([0, 1, 2, 3, 0] * 4)))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(no_plte)
+
+
+def test_png_foreign_filters_on_gray_and_rgba():
+    """The unfilter recurrence is bpp-dependent — exercise Paeth/Sub at
+    bpp=1 (gray) and bpp=4 (RGBA), not just the RGB bpp=3 the old tests
+    covered."""
+    import struct
+    import zlib
+
+    from video_features_spark.functions.codec import _PNG_SIG, _chunk
+
+    def enc(arr, colortype, bpp):
+        h, w = arr.shape[:2]
+        stride = w * bpp
+        flat = arr.reshape(h, stride).astype(np.int32)
+        out = bytearray()
+        prev = np.zeros(stride, np.int32)
+        for y in range(h):
+            cur = flat[y]
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            if y % 2:  # Paeth
+                p = left + prev - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+                )
+                out.append(4)
+            else:  # Sub
+                pred = left
+                out.append(1)
+            out.extend(((cur - pred) & 0xFF).astype(np.uint8).tobytes())
+            prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+        return (
+            _PNG_SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(out), 6))
+            + _chunk(b"IEND", b"")
+        )
+
+    gray = np.random.default_rng(21).integers(0, 256, (13, 29), dtype=np.uint8)
+    assert (decode_png(enc(gray, 0, 1)) == gray[:, :, None]).all()
+    rgba = np.random.default_rng(22).integers(0, 256, (11, 9, 4), dtype=np.uint8)
+    assert (decode_png(enc(rgba, 6, 4)) == rgba[:, :, :3]).all()
+
+
+def test_png_interlaced_rejected():
+    import struct
+    import zlib
+
+    from video_features_spark.functions.codec import _PNG_SIG, _chunk
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)  # Adam7 flag set
+    data = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 52))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(data)

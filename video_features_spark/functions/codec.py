@@ -7,7 +7,8 @@ Replaces the reference's cv2-based decode
 (``/root/reference/utils/io.py:109-154``: ``cv2.VideoCapture`` → BGR frame →
 ``cv2.cvtColor(BGR2RGB)`` at ``io.py:131``) with zero native dependencies:
 PNG implemented against the real spec (zlib + scanline filters — decodes any
-8-bit RGB PNG, encodes filter-0); real ``.jpg`` payloads decode through the
+8-bit non-interlaced PNG: grayscale/RGB/palette/gray+alpha/RGBA → RGB,
+encodes filter-0 in all five colortypes); real ``.jpg`` payloads decode through the
 baseline T.81 decoder (progressive raises with a clear hint); QJPG is a
 clearly-marked deterministic stand-in (PSNR ≈ 46 dB) kept for the synthetic
 benchmark corpus because a Python Huffman loop in the 400k-image hot path
@@ -45,21 +46,35 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray) -> bytes:
-    """Minimal-but-real RGB8 PNG encoder (filter type 0 per scanline)."""
+# channels per PNG colortype (spec §11.2.2); bitdepth 8 only in this codec
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def encode_png(arr: np.ndarray, palette: np.ndarray | None = None) -> bytes:
+    """Minimal-but-real 8-bit PNG encoder (filter type 0 per scanline).
+    Colortype from shape: ``(h,w)`` → grayscale (0) — or palette (3) when
+    ``palette`` (≤256×3 uint8) is given and ``arr`` holds indices;
+    ``(h,w,2)`` → gray+alpha (4); ``(h,w,3)`` → RGB (2); ``(h,w,4)`` →
+    RGBA (6). Real scraped corpora carry all of these (the reference decodes
+    them via cv2, ``utils/io.py:131``)."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
-    h, w, c = arr.shape
-    assert c == 3, "RGB only"
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, colortype 2 (RGB)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        channels, colortype = 1, (3 if palette is not None else 0)
+    else:
+        h, w, channels = arr.shape
+        colortype = {2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
     raw = np.concatenate(
-        [np.zeros((h, 1), np.uint8), arr.reshape(h, w * 3)], axis=1
+        [np.zeros((h, 1), np.uint8), arr.reshape(h, w * channels)], axis=1
     ).tobytes()
-    return (
-        _PNG_SIG
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw, 6))
-        + _chunk(b"IEND", b"")
-    )
+    chunks = _PNG_SIG + _chunk(b"IHDR", ihdr)
+    if colortype == 3:
+        pal = np.ascontiguousarray(palette, dtype=np.uint8)
+        assert pal.ndim == 2 and pal.shape[1] == 3 and pal.shape[0] <= 256
+        assert int(arr.max(initial=0)) < pal.shape[0], "palette index out of range"
+        chunks += _chunk(b"PLTE", pal.tobytes())
+    return chunks + _chunk(b"IDAT", zlib.compress(raw, 6)) + _chunk(b"IEND", b"")
 
 
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
@@ -97,23 +112,37 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
+    """Decode any 8-bit non-interlaced PNG — colortypes 0 (grayscale),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) — to uint8 H×W×3 RGB,
+    matching the reference's decode-anything cv2 path (``utils/io.py:131``):
+    grayscale replicates to 3 channels, palette indices resolve through PLTE,
+    alpha is dropped (cv2 IMREAD_COLOR / PIL convert("RGB") behavior)."""
     assert data[:8] == _PNG_SIG, "not a PNG"
     pos, w = 8, 0
     idat = b""
-    h = bitdepth = colortype = 0
+    plte: "bytes | None" = None
+    h = bitdepth = colortype = interlace = 0
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
-            w, h, bitdepth, colortype = struct.unpack(">IIBB", payload[:10])
+            w, h, bitdepth, colortype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload[:13]
+            )
+        elif tag == b"PLTE":
+            plte = payload
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
             break
         pos += 12 + length
-    if bitdepth != 8 or colortype != 2:
-        raise ValueError(f"unsupported PNG (bitdepth={bitdepth}, colortype={colortype})")
+    if bitdepth != 8 or colortype not in _PNG_CHANNELS or interlace:
+        raise ValueError(
+            f"unsupported PNG (bitdepth={bitdepth}, colortype={colortype}, "
+            f"interlace={interlace}): only 8-bit non-interlaced 0/2/3/4/6"
+        )
+    channels = _PNG_CHANNELS[colortype]
     from .jpeg import MAX_DECODE_PIXELS
 
     if not h or not w or h * w > MAX_DECODE_PIXELS:
@@ -121,13 +150,27 @@ def decode_png(data: bytes) -> np.ndarray:
     # decompress EXACTLY the pixel-data size the header implies (+1 to detect
     # excess): an uncapped zlib.decompress would hand an adversarial deflate
     # bomb unbounded memory before the reshape below ever catches it
-    want = h * (w * 3 + 1)
+    want = h * (w * channels + 1)
     dec = zlib.decompressobj()
     raw_bytes = dec.decompress(idat, want + 1)
     if len(raw_bytes) != want:
         raise ValueError("corrupt PNG: pixel data length mismatch")
     raw = np.frombuffer(raw_bytes, np.uint8)
-    return _unfilter(raw, h, w * 3, 3).reshape(h, w, 3)
+    px = _unfilter(raw, h, w * channels, channels).reshape(h, w, channels)
+    if colortype == 2:
+        return px
+    if colortype == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    if colortype == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("corrupt PNG: palette image without a valid PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("corrupt PNG: palette index out of range")
+        return pal[idx]
+    # colortypes 0 / 4: replicate luma, drop alpha if present
+    return np.repeat(px[:, :, :1], 3, axis=2)
 
 
 def encode_qjpg(arr: np.ndarray, step: int = QJPG_STEP) -> bytes:

@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.codec import encode_image
+from ..functions.codec import encode_image, encode_png
 from ..functions.phash import average_hash
 
 SEED = 42
@@ -84,7 +84,28 @@ def _row(seed: int, rid: int, n_entities: int, caption_null_rate: float) -> tupl
     # a Python Huffman loop in the 400k-image bench hot path would measure
     # the codec, not the engine)
     fmt = "png" if rng.random() < 0.8 else "qjpg"
-    data = encode_image(pix, fmt)
+    if fmt == "png":
+        # scraped corpora are not all RGB: a slice of the PNG rows ships as
+        # RGBA (opaque alpha — decodes back to the same RGB) or grayscale
+        # (luma-stored; decode replicates to 3 channels), exercising the
+        # decode-anything path end to end in every image query. pix is
+        # updated to the DECODED pixels so phash/captions stay consistent
+        # with what readers of the bytes column will see.
+        v = rng.random()
+        if v < 0.06:
+            data = encode_png(
+                np.concatenate([pix, np.full(pix.shape[:2] + (1,), 255, np.uint8)], axis=2)
+            )
+        elif v < 0.12:
+            luma = ((pix[:, :, 0].astype(np.uint32) * 299
+                     + pix[:, :, 1].astype(np.uint32) * 587
+                     + pix[:, :, 2].astype(np.uint32) * 114) // 1000).astype(np.uint8)
+            data = encode_png(luma)
+            pix = np.repeat(luma[:, :, None], 3, axis=2)
+        else:
+            data = encode_image(pix, fmt)
+    else:
+        data = encode_image(pix, fmt)
     ph = average_hash(pix)
     if rng.random() < caption_null_rate:
         caption = None
