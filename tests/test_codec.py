@@ -247,7 +247,10 @@ def test_jpeg_decodes_real_encoder_streams():
         pytest.skip("no real JPEG assets on this host")
 
 
-def test_jpeg_progressive_raises_cleanly():
+def test_jpeg_decodes_real_progressive_stream():
+    """A real libjpeg-authored SOF2 file (default progressive script, 4:2:2
+    luma subsampling) found on the host — the independent-encoder check for
+    the Annex G path. Skipped where the asset is absent."""
     import os
 
     from video_features_spark.functions.jpeg import decode_jpeg
@@ -256,8 +259,67 @@ def test_jpeg_progressive_raises_cleanly():
          "rust/html/embedded-book/assets/f3.jpg")
     if not os.path.exists(p):
         pytest.skip("no progressive asset on this host")
-    with pytest.raises(ValueError, match="progressive"):
-        decode_jpeg(open(p, "rb").read())
+    img = decode_jpeg(open(p, "rb").read())
+    assert img.shape == (477, 720, 3)
+    # photo of a green circuit board: green channel dominates, real variance
+    means = img.mean(axis=(0, 1))
+    assert means[1] > means[0] and means[1] > means[2]
+    assert img.std() > 30
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive (SOF2) and baseline encodings of the same image carry the
+    same quantized coefficients, so the decodes must be BIT-IDENTICAL — the
+    strongest self-contained check of every Annex G scan type the script
+    emits (DC approx+refine, spectral bands, two AC refinement levels,
+    EOB runs)."""
+    from video_features_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    cases = [
+        _img(0, 40, 56),                       # random noise: dense coefs
+        np.full((24, 24, 3), 130, np.uint8),   # constant: EOB-run heavy
+    ]
+    # smooth gradient + a few hot pixels: long zero runs INSIDE blocks with
+    # isolated significant coefs — the ZRL-in-refinement territory
+    g = np.zeros((48, 48, 3), np.uint8)
+    g[:] = np.linspace(60, 200, 48, dtype=np.uint8)[None, :, None]
+    hot = rng.integers(0, 48, (12, 2))
+    g[hot[:, 0], hot[:, 1]] = [255, 0, 255]
+    cases.append(g)
+    for q in (92, 50):
+        for img in cases:
+            base = decode_jpeg(encode_jpeg(img, quality=q))
+            prog = decode_jpeg(encode_progressive_jpeg(img, quality=q))
+            assert (base == prog).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 10_000), h=st.integers(8, 56), w=st.integers(8, 56))
+def test_jpeg_progressive_equals_baseline_property(seed, h, w):
+    from video_features_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_progressive_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    # mix of smooth + structured + noise so coefficient sparsity varies
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(
+        120
+        + 80 * np.sin(xx / 7.0)[..., None]
+        + 40 * np.cos(yy / 5.0)[..., None]
+        + rng.integers(-20, 21, (h, w, 3)),
+        0, 255,
+    ).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    prog = decode_jpeg(encode_progressive_jpeg(img, quality=85))
+    assert (base == prog).all()
 
 
 def test_decode_image_dispatches_real_jpeg():
@@ -456,3 +518,68 @@ def test_png_interlaced_rejected():
     )
     with pytest.raises(ValueError, match="interlace"):
         decode_png(data)
+
+
+def test_jpeg_progressive_eobrun_gt1_decode():
+    """EOBn runs with n>0 come only from optimized-table encoders (our own
+    fixture encoder emits per-block EOB0), so pin the eobrun>1 decode
+    semantics against a hand-authored bitstream: T.81 §G.2 says EOBn covers
+    (1<<n)+ext blocks INCLUDING the current one, and in refinement scans
+    every already-nonzero coefficient in covered blocks consumes one
+    correction bit."""
+    import numpy as np
+
+    from video_features_spark.functions.jpeg import (
+        _ac_first_block,
+        _ac_refine_block,
+        _BitReader,
+        _BitWriter,
+        _huff_codes,
+        _HuffTable,
+    )
+
+    # tiny table: EOB0(0x00), EOB2(0x20), ZRL(0xF0), (0,1), (0,2), (1,1)
+    bits = [0, 0, 6] + [0] * 13  # six 3-bit codes
+    values = [0x00, 0x20, 0xF0, 0x01, 0x02, 0x11]
+    table = _HuffTable(bits, values)
+    codes = _huff_codes(bits, values)
+
+    # ---- AC first: B0 has coef 3 at k=1 then EOB2(ext=1) -> eobrun
+    # (1<<2)-1+1 = 4 ADDITIONAL blocks (B1..B4); B5 codes coef -1 after r=1
+    wtr = _BitWriter()
+    c, ln = codes[0x02]; wtr.write(c, ln); wtr.write(0b11, 2)      # B0: val 3
+    c, ln = codes[0x20]; wtr.write(c, ln); wtr.write(0b01, 2)      # EOB2 ext 1
+    c, ln = codes[0x11]; wtr.write(c, ln); wtr.write(0b0, 1)       # B5: r=1,-1
+    c, ln = codes[0x00]; wtr.write(c, ln)                          # B5: EOB0
+    wtr.flush()
+    reader = _BitReader(bytes(wtr.out))
+    blocks = [np.zeros(64, np.int32) for _ in range(6)]
+    eobrun = 0
+    for b in blocks:
+        eobrun = _ac_first_block(reader, table, b, 1, 63, 0, eobrun)
+    assert blocks[0][1] == 3
+    assert all(not b.any() for b in blocks[1:5])
+    assert blocks[5][2] == -1  # r=1 skips one zero from Ss=1, places at k=2
+    assert eobrun == 0
+
+    # ---- AC refinement: existing coefs are multiples of 2 (coded at Ah=1);
+    # EOB2(ext=0) covers B0..B3 and each existing coef eats one bit, in
+    # order: correction bit 1 promotes |c| by p1 toward its sign.
+    wtr = _BitWriter()
+    c, ln = codes[0x20]; wtr.write(c, ln); wtr.write(0b00, 2)      # EOB2 run=4
+    wtr.write(0b1, 1)   # B0 k=2 (+2 -> +3)
+    wtr.write(0b0, 1)   # B1 k=1 (-2 stays)
+    wtr.write(0b1, 1)   # B3 k=5 (-4 -> -5)
+    wtr.flush()
+    reader = _BitReader(bytes(wtr.out))
+    blocks = [np.zeros(64, np.int32) for _ in range(4)]
+    blocks[0][2] = 2
+    blocks[1][1] = -2
+    blocks[3][5] = -4
+    eobrun = 0
+    for b in blocks:
+        eobrun = _ac_refine_block(reader, table, b, 1, 63, 0, eobrun)
+    assert blocks[0][2] == 3
+    assert blocks[1][1] == -2
+    assert blocks[3][5] == -5
+    assert eobrun == 0

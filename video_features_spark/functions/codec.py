@@ -9,7 +9,7 @@ Replaces the reference's cv2-based decode
 PNG implemented against the real spec (zlib + scanline filters — decodes any
 8-bit non-interlaced PNG: grayscale/RGB/palette/gray+alpha/RGBA → RGB,
 encodes filter-0 in all five colortypes); real ``.jpg`` payloads decode through the
-baseline T.81 decoder (progressive raises with a clear hint); QJPG is a
+T.81 decoder (baseline AND progressive, ``functions/jpeg.py``); QJPG is a
 clearly-marked deterministic stand-in (PSNR ≈ 46 dB) kept for the synthetic
 benchmark corpus because a Python Huffman loop in the 400k-image hot path
 would measure the codec, not the engine. When PIL is present (real
@@ -222,8 +222,8 @@ def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
 
         return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
     if data[:2] == b"\xff\xd8":
-        # pure-numpy baseline JPEG fallback (functions/jpeg.py) — slower than
-        # PIL but dependency-free; progressive streams raise with a clear hint
+        # pure-numpy JPEG fallback (functions/jpeg.py, baseline + progressive)
+        # — slower than PIL but dependency-free
         from .jpeg import decode_jpeg
 
         return decode_jpeg(data)

@@ -1,18 +1,23 @@
-"""Pure-numpy baseline JPEG codec (ITU-T T.81 sequential DCT, Huffman).
+"""Pure-numpy JPEG codec (ITU-T T.81): baseline AND progressive decode.
 
 Closes the no-PIL gap the reference never has (it shells out to cv2/ffmpeg,
 ``/root/reference/utils/io.py:109-154``): real-world ``.jpg`` payloads decode
-here with zero native dependencies. Decoder handles baseline SOF0 (and SOF1)
-streams: multi-table DQT/DHT, interleaved scans, chroma subsampling (any
-h×v factors up to 2×2), restart markers, byte unstuffing, grayscale and
-3-component YCbCr. The encoder is a minimal 4:4:4 baseline writer (Annex K
-standard quantization + Huffman tables, libjpeg quality scaling) used for
-roundtrip validation and as the real-``jpeg`` sink.
+here with zero native dependencies. Decoder handles baseline SOF0/SOF1
+(interleaved or one-scan-per-component) and progressive SOF2 streams:
+multi-table DQT/DHT, chroma subsampling (any h×v factors up to 2×2),
+restart markers, byte unstuffing, grayscale and 3-component YCbCr; for SOF2
+the full Annex G repertoire — spectral selection, successive approximation,
+DC/AC refinement scans, EOB runs (verified against a real libjpeg-authored
+progressive file). Encoders: a minimal 4:4:4 baseline writer and a
+progressive writer (libjpeg-shaped scan script) used for roundtrip
+validation and fixtures — progressive and baseline encodings of the same
+image decode bit-identically, the self-contained correctness check.
 
 Implemented from the public spec (marker structure T.81 §B, Huffman decode
-procedure §F.2.2, DCT Annex A, standard tables Annex K). Per-image cost is a
-Python Huffman bit loop (~0.1 s for 224² — the documented fallback path; PIL
-is auto-preferred by ``codec.decode_image`` when installed).
+procedure §F.2.2, progressive procedures Annex G, DCT Annex A, standard
+tables Annex K). Per-image cost is a Python Huffman bit loop (~0.1 s for
+224² — the documented fallback path; PIL is auto-preferred by
+``codec.decode_image`` when installed).
 """
 
 from __future__ import annotations
@@ -164,13 +169,20 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 H×W×3 RGB (grayscale replicated)."""
+    """JPEG bytes → uint8 H×W×3 RGB (grayscale replicated).
+
+    Handles baseline SOF0/SOF1 (interleaved or one-scan-per-component) AND
+    progressive SOF2 (T.81 Annex G: spectral selection, successive
+    approximation, DC/AC refinement scans, EOB runs, restart markers). The
+    multi-scan design accumulates quantized coefficients per component and
+    reconstructs once at EOI with a batched IDCT."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffTable] = {}  # (class 0=DC/1=AC, id)
     restart_interval = 0
     frame = None
+    coefs: "list[np.ndarray] | None" = None
     pos = 2
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -178,7 +190,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             continue
         marker = data[pos + 1]
         pos += 2
-        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
             continue
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         seg = data[pos + 2 : pos + seglen]
@@ -203,7 +217,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + n])
                 huff[(cls, tid)] = _HuffTable(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (baseline)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             h, w = struct.unpack(">HH", seg[1:5])
             if not h or not w or h * w > MAX_DECODE_PIXELS:
                 raise ValueError(f"corrupt JPEG: implausible dimensions {w}x{h}")
@@ -212,36 +226,50 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"unsupported JPEG frame type SOF{marker - 0xC0} (progressive?)")
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            frame["hmax"], frame["vmax"] = hmax, vmax
+            frame["mcux"] = (w + 8 * hmax - 1) // (8 * hmax)
+            frame["mcuy"] = (h + 8 * vmax - 1) // (8 * vmax)
+            # per-component quantized coefficients, zigzag order, filled by
+            # one scan (baseline) or accumulated across scans (progressive)
+            coefs = [
+                np.zeros((frame["mcuy"] * c["v"], frame["mcux"] * c["h"], 64), np.int32)
+                for c in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG frame type SOF{marker - 0xC0} "
+                f"(lossless/arithmetic/hierarchical)"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None or coefs is None:
+                raise ValueError("corrupt JPEG: SOS before SOF")
             ns = seg[0]
             scan_sel = []
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c : 3 + 2 * c]
                 scan_sel.append({"cs": cs, "dc": tables >> 4, "ac": tables & 0xF})
-            if frame is not None and ns < len(frame["comps"]):
-                # legal under SOF0 (one SOS per component) but this decoder
-                # handles only the interleaved single-scan layout — fail with
-                # the same clear-hint style as the progressive case instead of
-                # a KeyError deep inside the MCU loop
-                raise ValueError(
-                    f"non-interleaved baseline JPEG scans unsupported "
-                    f"({ns} of {len(frame['comps'])} components in first SOS)"
-                )
-            scan_start = pos + seglen
-            return _decode_scan(
-                data, scan_start, frame, scan_sel, qt, huff, restart_interval
+            ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            pos = _run_scan(
+                data, pos + seglen, frame, scan_sel, (ss, se, ah, al),
+                huff, coefs, restart_interval,
             )
+            continue
         pos += seglen
-    raise ValueError("corrupt JPEG: no SOS marker")
+    if frame is None or coefs is None:
+        raise ValueError("corrupt JPEG: no SOS marker")
+    return _reconstruct(frame, coefs, qt)
 
 
-def _entropy_segments(data: bytes, start: int) -> list[bytes]:
-    """Split entropy data at restart markers, unstuffing FF00 → FF."""
+def _entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy data at restart markers, unstuffing FF00 →
+    FF. Returns the segments and the offset where the scan ended (the 0xFF
+    of the terminating marker, or EOF)."""
     segs, cur = [], bytearray()
     i = start
     while i < len(data):
@@ -257,73 +285,201 @@ def _entropy_segments(data: bytes, start: int) -> list[bytes]:
                 cur = bytearray()
                 i += 2
                 continue
-            break  # any other marker ends the scan (EOI etc.)
+            break  # any other marker ends the scan (EOI, next SOS, ...)
         cur.append(b)
         i += 1
     segs.append(bytes(cur))
-    return segs
+    return segs, i
 
 
-def _decode_scan(data, start, frame, scan_sel, qt, huff, restart_interval):
-    if frame is None:
-        raise ValueError("corrupt JPEG: SOS before SOF")
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+def _baseline_block(reader, dct_t, act_t, coef, ci, dc_pred):
+    """Sequential block: DC diff + AC run-lengths into zigzag ``coef``."""
+    t = reader.decode_huff(dct_t)
+    dc_pred[ci] += _extend(reader.read_bits(t), t) if t else 0
+    coef[0] = dc_pred[ci]
+    k = 1
+    while k < 64:
+        rs = reader.decode_huff(act_t)
+        r, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("corrupt JPEG: AC index overflow")
+        coef[k] = _extend(reader.read_bits(size), size)
+        k += 1
+
+
+def _ac_first_block(reader, act_t, coef, ss, se, al, eobrun):
+    """Progressive AC initial scan for one block (T.81 §G.2, EOB runs)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(act_t)
+        r, size = rs >> 4, rs & 0xF
+        if size == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1  # this block ends; r encodes the EOB run
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC index beyond band end")
+        coef[k] = _extend(reader.read_bits(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(reader, act_t, coef, ss, se, al, eobrun):
+    """Progressive AC refinement for one block (T.81 §G.1.2.3 decode side):
+    newly-significant coefficients arrive as ±1<<al; every already-nonzero
+    coefficient in the band consumes a correction bit."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(act_t)
+            r, size = rs >> 4, rs & 0xF
+            newval = 0
+            if size == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients (r == 15 counts 15
+                # decrements + the terminating zero-history position below)
+            else:
+                if size != 1:
+                    raise ValueError("corrupt JPEG: AC refinement size != 1")
+                newval = p1 if reader.read_bit() else -p1
+            while k <= se:
+                c = int(coef[k])
+                if c:
+                    if reader.read_bit() and not (abs(c) & p1):
+                        coef[k] = c + (p1 if c > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if size and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        # remainder of the band: correction bits only
+        while k <= se:
+            c = int(coef[k])
+            if c and reader.read_bit() and not (abs(c) & p1):
+                coef[k] = c + (p1 if c > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _run_scan(data, start, frame, scan_sel, band, huff, coefs, restart_interval):
+    """Decode ONE scan's entropy data into the per-component coefficient
+    arrays; returns the stream offset where the scan ended. Handles
+    interleaved (ns>1) MCU order and non-interleaved (ns==1) per-component
+    block raster order — the latter is how baseline one-scan-per-component
+    files AND all progressive AC scans are laid out."""
+    ss, se, ah, al = band
+    comps = frame["comps"]
+    progressive = frame["progressive"]
     sel = {s["cs"]: s for s in scan_sel}
-    planes = [
-        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float32) for c in comps
-    ]
-    segs = _entropy_segments(data, start)
+    in_scan = [(ci, c) for ci, c in enumerate(comps) if c["id"] in sel]
+    if len(in_scan) != len(scan_sel):
+        raise ValueError("corrupt JPEG: scan references unknown component")
+    segs, end = _entropy_segments(data, start)
     reader = _BitReader(segs[0])
     seg_idx = 0
     dc_pred = [0] * len(comps)
-    n_mcu = mcux * mcuy
-    dq = [qt[c["tq"]].astype(np.float32) for c in comps]
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
+    eobrun = 0
+
+    def block_units():
+        """Yield (ci, comp, by, bx) in scan order."""
+        if len(in_scan) > 1:  # interleaved: MCU raster, h×v blocks per comp
+            for m in range(frame["mcux"] * frame["mcuy"]):
+                my, mx = divmod(m, frame["mcux"])
+                for ci, comp in in_scan:
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            yield ci, comp, my * comp["v"] + by, mx * comp["h"] + bx
+        else:  # non-interleaved: the component's own (unpadded) block raster
+            ci, comp = in_scan[0]
+            cw = (frame["w"] * comp["h"] + frame["hmax"] - 1) // frame["hmax"]
+            ch = (frame["h"] * comp["v"] + frame["vmax"] - 1) // frame["vmax"]
+            for by in range((ch + 7) // 8):
+                for bx in range((cw + 7) // 8):
+                    yield ci, comp, by, bx
+
+    # restart counting is per MCU: one MCU = one block unit when ns==1, else
+    # the full component set
+    units_per_mcu = (
+        sum(c["h"] * c["v"] for _, c in in_scan) if len(in_scan) > 1 else 1
+    )
+    unit_idx = 0
+    for ci, comp, by, bx in block_units():
+        if (
+            restart_interval
+            and unit_idx
+            and unit_idx % (restart_interval * units_per_mcu) == 0
+        ):
             seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("corrupt JPEG: missing restart segment")
             reader = _BitReader(segs[seg_idx])
             dc_pred = [0] * len(comps)
-        my, mx = divmod(m, mcux)
-        for ci, comp in enumerate(comps):
-            s = sel[comp["id"]]
-            dct_t, act_t = huff[(0, s["dc"])], huff[(1, s["ac"])]
-            for by in range(comp["v"]):
-                for bx in range(comp["h"]):
-                    coef = np.zeros(64, np.float32)
-                    t = reader.decode_huff(dct_t)
-                    diff = _extend(reader.read_bits(t), t) if t else 0
-                    dc_pred[ci] += diff
-                    coef[0] = dc_pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode_huff(act_t)
-                        r, size = rs >> 4, rs & 0xF
-                        if size == 0:
-                            if r == 15:  # ZRL: 16 zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("corrupt JPEG: AC index overflow")
-                        coef[k] = _extend(reader.read_bits(size), size)
-                        k += 1
-                    # DQT tables arrive zigzag-ordered (like the coefficients):
-                    # multiply positionally, then scatter to raster via ZIGZAG
-                    block = np.zeros(64, np.float32)
-                    block[ZIGZAG] = coef * dq[ci]
-                    pix = _C.T @ block.reshape(8, 8) @ _C + 128.0
-                    y0 = (my * comp["v"] + by) * 8
-                    x0 = (mx * comp["h"] + bx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
-    # upsample each plane to full MCU-padded resolution, crop, color-convert
+            eobrun = 0
+        unit_idx += 1
+        s = sel[comp["id"]]
+        coef = coefs[ci][by, bx]
+        if not progressive:
+            _baseline_block(
+                reader, huff[(0, s["dc"])], huff[(1, s["ac"])], coef, ci, dc_pred
+            )
+        elif ss == 0 and ah == 0:  # DC initial (Al-shifted diffs)
+            t = reader.decode_huff(huff[(0, s["dc"])])
+            dc_pred[ci] += _extend(reader.read_bits(t), t) if t else 0
+            coef[0] = dc_pred[ci] << al
+        elif ss == 0:  # DC refinement: one bit per block
+            if reader.read_bit():
+                coef[0] = int(coef[0]) | (1 << al)
+        elif ah == 0:  # AC initial
+            eobrun = _ac_first_block(
+                reader, huff[(1, s["ac"])], coef, ss, se, al, eobrun
+            )
+        else:  # AC refinement
+            eobrun = _ac_refine_block(
+                reader, huff[(1, s["ac"])], coef, ss, se, al, eobrun
+            )
+    return end
+
+
+def _reconstruct(frame, coefs, qt):
+    """Dequantize + batched IDCT + upsample + color-convert, once per image."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     full = []
     for ci, comp in enumerate(comps):
-        p = planes[ci]
+        if comp["tq"] not in qt:
+            raise ValueError("corrupt JPEG: missing quantization table")
+        dq = qt[comp["tq"]].astype(np.float32)
+        zz = coefs[ci].astype(np.float32) * dq  # (bY, bX, 64) zigzag order
+        by, bx = zz.shape[:2]
+        blocks = np.zeros((by, bx, 64), np.float32)
+        blocks[..., ZIGZAG] = zz  # scatter zigzag → raster
+        f = blocks.reshape(by, bx, 8, 8)
+        # IDCT: f = C.T @ F @ C, batched over every block at once
+        pix = np.einsum("ak,yxab,bl->yxkl", _C, f, _C, optimize=True) + 128.0
+        p = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         ry, rx = vmax // comp["v"], hmax // comp["h"]
         if ry > 1 or rx > 1:
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
@@ -478,4 +634,212 @@ def encode_jpeg(img: np.ndarray, quality: int = 92, restart_interval: int = 0) -
     wtr.flush()
     out += wtr.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (spectral selection + successive approximation) — the
+# fixture source for the progressive decode path: no imaging library in the
+# minimal container can author SOF2 streams, so the codec writes its own,
+# using libjpeg's default scan script shape (T.81 Annex G encode procedures).
+# ---------------------------------------------------------------------------
+
+# (component_indices, Ss, Se, Ah, Al) — DC approx first, luma AC in two
+# bands at Al=2, chroma AC at Al=1, then one AC refinement level per
+# component and the DC refinement: every §G decode path gets exercised.
+PROGRESSIVE_SCRIPT = [
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+]
+
+
+class _EOBState:
+    """Pending end-of-band blocks (+ their buffered correction bits) for one
+    AC scan. The standard Annex K AC tables carry only EOB0 (symbol 0x00) —
+    EOBn for n>0 needs custom-optimized tables à la libjpeg — so each folded
+    block flushes as its own EOB0 + that block's correction bits, which is
+    spec-legal (an EOB run of 1 per block). The decoder still handles real
+    EOBn>0 runs from optimized-table encoders."""
+
+    def __init__(self, wtr, codes):
+        self.wtr, self.codes = wtr, codes
+        self.blocks: list[list[int]] = []
+
+    def add_block(self, bits: list[int]) -> None:
+        self.blocks.append(bits)
+
+    def flush(self) -> None:
+        for bits in self.blocks:
+            code, ln = self.codes[0x00]
+            self.wtr.write(code, ln)
+            for b in bits:
+                self.wtr.write(b, 1)
+        self.blocks = []
+
+
+def _quantized_blocks(img: np.ndarray, quality: int):
+    """RGB → per-component zigzag-quantized coefficient arrays (bY, bX, 64)
+    plus the two scaled quantization tables — shared by both encoders'
+    4:4:4 geometry."""
+    h, w = img.shape[:2]
+    rgb = img.astype(np.float32)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128.0
+    cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128.0
+    qly = _scaled_qt(STD_LUM_QT, quality)
+    qlc = _scaled_qt(STD_CHR_QT, quality)
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    out = []
+    for ci, p in enumerate((y, cb, cr)):
+        pad = np.empty((ph, pw), np.float32)
+        pad[:h, :w] = p
+        pad[h:, :w] = p[h - 1 : h, :]
+        pad[:, w:] = pad[:, w - 1 : w]
+        pad -= 128.0
+        f = pad.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        coefs = np.einsum("ka,yxab,lb->yxkl", _C, f, _C, optimize=True)
+        qtab = (qly if ci == 0 else qlc).astype(np.float32)  # raster order
+        q = np.round(coefs.reshape(ph // 8, pw // 8, 64) / qtab).astype(np.int32)
+        out.append(q[..., ZIGZAG])  # raster → zigzag (zz[i] = q[ZIGZAG[i]])
+    return out, qly, qlc
+
+
+def encode_progressive_jpeg(
+    img: np.ndarray, quality: int = 92, script=None
+) -> bytes:
+    """uint8 H×W×3 RGB → progressive (SOF2) JPEG, 4:4:4, standard tables.
+    Emits spectral-selection bands under successive approximation per
+    ``PROGRESSIVE_SCRIPT`` (override via ``script``); decodes identically to
+    the baseline encoding of the same image (same quantized coefficients)."""
+    h, w = img.shape[:2]
+    comps, qly, qlc = _quantized_blocks(img, quality)
+    out = bytearray(b"\xff\xd8")
+    for tid, tbl in ((0, qly), (1, qlc)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+            int(tbl[z]) for z in ZIGZAG
+        )
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, 0x11, tq])
+    for cls, tid, (bits, vals) in (
+        (0, 0, DC_LUM), (1, 0, AC_LUM), (0, 1, DC_CHR), (1, 1, AC_CHR)
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes(
+            [(cls << 4) | tid] + bits + vals
+        )
+    dc_codes = [_huff_codes(*DC_LUM), _huff_codes(*DC_CHR)]
+    ac_codes = [_huff_codes(*AC_LUM), _huff_codes(*AC_CHR)]
+    for cis, ss, se, ah, al in (script or PROGRESSIVE_SCRIPT):
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(cis), len(cis))
+        for ci in cis:
+            tid = 0 if ci == 0 else 1
+            out += bytes([ci + 1, (tid << 4) | tid])
+        out += bytes([ss, se, (ah << 4) | al])
+        wtr = _BitWriter()
+        if ss == 0 and ah == 0:  # DC initial (interleaved over cis)
+            dc_pred = [0] * 3
+            by, bx = comps[0].shape[:2]
+            for m in range(by * bx):
+                yy, xx = divmod(m, bx)
+                for ci in cis:
+                    v = int(comps[ci][yy, xx, 0]) >> al  # arithmetic shift
+                    diff = v - dc_pred[ci]
+                    dc_pred[ci] = v
+                    t = _category(diff)
+                    code, ln = dc_codes[0 if ci == 0 else 1][t]
+                    wtr.write(code, ln)
+                    if t:
+                        wtr.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        elif ss == 0:  # DC refinement: bit Al of every block, MCU order
+            by, bx = comps[0].shape[:2]
+            for m in range(by * bx):
+                yy, xx = divmod(m, bx)
+                for ci in cis:
+                    wtr.write((int(comps[ci][yy, xx, 0]) >> al) & 1, 1)
+        elif ah == 0:  # AC initial for one component
+            (ci,) = cis
+            codes = ac_codes[0 if ci == 0 else 1]
+            eob = _EOBState(wtr, codes)
+            for blk in comps[ci].reshape(-1, 64):
+                run = 0
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    mag = abs(v) >> al
+                    if mag == 0:
+                        run += 1
+                        continue
+                    eob.flush()
+                    while run > 15:
+                        code, ln = codes[0xF0]
+                        wtr.write(code, ln)
+                        run -= 16
+                    size = mag.bit_length()
+                    code, ln = codes[(run << 4) | size]
+                    wtr.write(code, ln)
+                    sv = mag if v > 0 else -mag
+                    wtr.write(sv if sv >= 0 else sv + (1 << size) - 1, size)
+                    run = 0
+                if run:
+                    eob.add_block([])
+            eob.flush()
+        else:  # AC refinement for one component (T.81 §G.1.2.3)
+            # The emitter mirrors the decoder's advance-walk EXACTLY: every
+            # correction bit lands in the stream at the position the decoder's
+            # walk will read it (within a ZRL's 16-zero stretch, between a
+            # significance symbol's sign bit and its placement, or in the
+            # EOB-run tail) — the subtle part of Annex G that interop bugs
+            # live in.
+            (ci,) = cis
+            codes = ac_codes[0 if ci == 0 else 1]
+            eob = _EOBState(wtr, codes)
+            for blk in comps[ci].reshape(-1, 64):
+                n = se - ss + 1
+                mags = [abs(int(blk[ss + i])) >> al for i in range(n)]
+                i = 0
+                while i < n:
+                    # scan ahead to the next newly-significant coefficient,
+                    # counting zero-history positions (mag 0) along the way
+                    j, r = i, 0
+                    while j < n and mags[j] != 1:
+                        if mags[j] == 0:
+                            r += 1
+                        j += 1
+                    if j == n:  # no more new coefs: remainder folds into EOB
+                        tail = [mags[t] & 1 for t in range(i, n) if mags[t] > 1]
+                        if r > 0 or tail:
+                            eob.add_block(tail)
+                        break
+                    while r > 15:  # each ZRL consumes exactly 16 zeros,
+                        eob.flush()  # with its stretch's correction bits
+                        code, ln = codes[0xF0]
+                        wtr.write(code, ln)
+                        zeros = 0
+                        while zeros < 16:
+                            if mags[i] == 0:
+                                zeros += 1
+                            elif mags[i] > 1:
+                                wtr.write(mags[i] & 1, 1)
+                            i += 1
+                        r -= 16
+                    eob.flush()
+                    code, ln = codes[(r << 4) | 1]
+                    wtr.write(code, ln)
+                    wtr.write(1 if int(blk[ss + j]) > 0 else 0, 1)
+                    while i < j:  # correction bits up to the placement
+                        if mags[i] > 1:
+                            wtr.write(mags[i] & 1, 1)
+                        i += 1
+                    i = j + 1
+            eob.flush()
+        wtr.flush()
+        out += wtr.out
+    out += b"\xff\xd9"
     return bytes(out)
