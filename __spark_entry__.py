@@ -359,17 +359,43 @@ def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4-style embedding post-transform (vggish_postprocess.py:51-90 semantics:
-    clip to [-2,2] → scale to [0,255] → floor): integer outputs so the check is
-    float-rounding-proof."""
-    emb = _read(spark, sf_dir, "embeddings")
-    clipped = F.transform(
-        "embedding", lambda x: F.greatest(F.least(x, F.lit(2.0)), F.lit(-2.0))
-    )
-    quant = F.transform(clipped, lambda x: F.floor((x + 2.0) * (255.0 / 4.0)).cast("long"))
+    """A4 embedding post-transform, BOTH halves of vggish_postprocess.py:51-90:
+    the PCA whitening matmul ``A(x−μ)`` (``:75-82``, fixed-tile matmul in an
+    Arrow-batched UDF, seeded deterministic params standing in for the npz
+    checkpoint) and the quantizer (clip to [-2,2] → scale to [0,255] → floor,
+    ``:84-89``). q_sum digests the raw-quantize path (pure-SQL oracle);
+    q_sum_white digests quantize∘whiten (BLAS-1 payload oracle). Integer
+    outputs so the check is float-rounding-proof."""
+    import pandas as pd
+
+    from video_features_spark.functions.embed import pca_whiten_batch, synth_pca_params
+
+    def _whiten_fn(col):
+        import numpy as np
+
+        matrix, means = synth_pca_params(64)
+        out = pca_whiten_batch(np.stack(col.to_numpy()), matrix, means)
+        return pd.Series(list(out))
+
+    # explicit registration: `from __future__ import annotations` stringifies
+    # type hints, which pandas_udf's signature inspection can't resolve
+    _whiten = F.pandas_udf(_whiten_fn, "array<float>")
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn("white", _whiten("embedding"))
+
+    def _quant_sum(col):
+        clipped = F.transform(
+            col, lambda x: F.greatest(F.least(x, F.lit(2.0)), F.lit(-2.0))
+        )
+        quant = F.transform(
+            clipped, lambda x: F.floor((x + 2.0) * (255.0 / 4.0)).cast("long")
+        )
+        return F.aggregate(quant, F.lit(0).cast("long"), lambda a, x: a + x)
+
     return emb.select(
         "vec_id",
-        F.aggregate(quant, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        _quant_sum("embedding").alias("q_sum"),
+        _quant_sum("white").alias("q_sum_white"),
         F.size("embedding").cast("long").alias("dim"),
     )
 
@@ -1793,6 +1819,31 @@ def _payload_section_video() -> dict:
     return {"video_frames": rows}
 
 
+def _payload_section_whiten() -> dict:
+    """embedding_quantize's whitened half: read the embeddings table, apply
+    the SAME ``pca_whiten_batch`` kernel the executors run (fixed-tile
+    float32 GEMM — BLAS-1 in this child, matching the OMP_NUM_THREADS=1
+    Python workers), quantize in float64 exactly as Catalyst's
+    ``floor((clip(x)+2)*(255/4))`` promotes the float elements."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from video_features_spark.functions.embed import pca_whiten_batch, synth_pca_params
+
+    t = pq.read_table(
+        os.path.join(_oracle_sf_dir(), "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    vec_ids = t["vec_id"].to_pylist()
+    emb = np.stack([np.asarray(e, np.float32) for e in t["embedding"].to_pylist()])
+    matrix, means = synth_pca_params(emb.shape[1])
+    white = pca_whiten_batch(emb, matrix, means)
+    q = np.floor(
+        (np.clip(white.astype(np.float64), -2.0, 2.0) + 2.0) * (255.0 / 4.0)
+    ).astype(np.int64)
+    return {"whiten_qsum": list(zip(vec_ids, q.sum(axis=1).tolist()))}
+
+
 _PAYLOAD_SECTIONS = (
     "_payload_section_main",
     "_payload_section_pairs",
@@ -1800,6 +1851,7 @@ _PAYLOAD_SECTIONS = (
     "_payload_section_small",
     "_payload_section_video",
     "_payload_section_ckpt",
+    "_payload_section_whiten",
 )
 
 
@@ -2109,6 +2161,25 @@ def _caption_bpe_oracle() -> str:
                token_digest::BIGINT AS token_digest,
                token_digest_vocab::BIGINT AS token_digest_vocab
         FROM (VALUES {values}) AS t(image_id, n_tokens, token_digest, token_digest_vocab)
+    """
+
+
+def _embedding_quantize_oracle() -> str:
+    """DuckDB twin of embedding_quantize: the raw-quantize digest stays pure
+    SQL (engine-neutral); the whiten∘quantize digest comes from the BLAS-1
+    payload (the kernel parity argument of the image oracles) and joins in as
+    a VALUES table."""
+    values = ", ".join(
+        f"({vid}, {qs})" for vid, qs in _oracle_payload()["whiten_qsum"]
+    )
+    return f"""
+        SELECT e.vec_id,
+               list_sum(list_transform(e.embedding,
+                   x -> floor((least(greatest(x, -2.0), 2.0) + 2.0) * (255.0/4.0))::BIGINT))::BIGINT AS q_sum,
+               w.q_sum_white::BIGINT AS q_sum_white,
+               len(e.embedding)::BIGINT AS dim
+        FROM embeddings e
+        JOIN (VALUES {values}) AS w(vec_id, q_sum_white) ON e.vec_id = w.vec_id
     """
 
 
@@ -2684,13 +2755,7 @@ def oracle_sql() -> dict[str, str]:
               FROM h)
             SELECT doc_id, unnest(fps) AS fingerprint FROM wins
         """,
-        "embedding_quantize": """
-            SELECT vec_id,
-                   list_sum(list_transform(embedding,
-                       x -> floor((least(greatest(x, -2.0), 2.0) + 2.0) * (255.0/4.0))::BIGINT))::BIGINT AS q_sum,
-                   len(embedding)::BIGINT AS dim
-            FROM embeddings
-        """,
+        "embedding_quantize": _embedding_quantize_oracle(),
         "ngram_jaccard": _JACCARD_ORACLE,
         "dedup_groups": _dedup_groups_oracle(),
         "embedding_near_dup_blocked": _near_dup_blocked_oracle(),

@@ -240,3 +240,28 @@ def test_real_jpeg_decode_prefers_pil():
     out = decode_image(buf.getvalue(), "jpeg")
     assert out.shape == arr.shape and out.dtype == np.uint8
     assert psnr(arr, out) > 25.0
+
+
+def test_pca_whiten_batch_semantics_and_batch_independence():
+    """A4 whitening (vggish_postprocess.py:75-82 semantics): matches the
+    reference's np.dot(A, (X.T - mu)).T formulation, and a row's output is
+    bit-identical whether whitened alone or inside a large batch (the
+    fixed-tile matmul contract every embedding kernel honors)."""
+    import numpy as np
+
+    from video_features_spark.functions.embed import pca_whiten_batch, synth_pca_params
+
+    rng = np.random.default_rng(4)
+    emb = rng.standard_normal((300, 64)).astype(np.float32)
+    matrix, means = synth_pca_params(64)
+    out = pca_whiten_batch(emb, matrix, means)
+    assert out.shape == (300, 64) and out.dtype == np.float32
+    ref = np.dot(matrix.astype(np.float64),
+                 (emb.T.astype(np.float64) - means.astype(np.float64)[:, None])).T
+    assert np.allclose(out, ref, atol=1e-4)
+    # batch-size independence: rows 10..20 alone == same rows from the batch
+    alone = pca_whiten_batch(emb[10:20], matrix, means)
+    assert np.array_equal(alone, out[10:20])
+    # params are a pure function of the seed
+    m2, mu2 = synth_pca_params(64)
+    assert np.array_equal(matrix, m2) and np.array_equal(means, mu2)

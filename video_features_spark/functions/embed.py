@@ -198,6 +198,33 @@ def get_model(
     return _CACHE[key]
 
 
+def synth_pca_params(dim: int = 64, seed: int = 77) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic stand-in PCA-whitening parameters. The reference loads
+    its (matrix, means) pair from an npz checkpoint
+    (``vggish_postprocess.py:51-63``); here they are a pure function of the
+    seed — a 1/sqrt(dim)-scaled seeded gaussian matrix and a seeded mean
+    vector, built element-wise (no LAPACK factorization, whose rounding
+    varies with BLAS threading). float32, like the reference's params."""
+    rng = np.random.default_rng(seed)
+    matrix = (rng.standard_normal((dim, dim)) / np.sqrt(dim)).astype(np.float32)
+    means = (rng.standard_normal(dim) * 0.05).astype(np.float32)
+    return matrix, means
+
+
+def pca_whiten_batch(emb: np.ndarray, matrix: np.ndarray, means: np.ndarray) -> np.ndarray:
+    """``A @ (x - μ)`` per row — the reference's PCA application
+    (``vggish_postprocess.py:75-82``: transpose, subtract the means column
+    vector, premultiply by the PCA matrix), row-major here:
+    ``(emb - μ) @ A.T`` through the fixed-tile matmul so a row's output is
+    bit-identical regardless of how many rows share its Arrow batch."""
+    from .preprocess import _tiled_matmul
+
+    centered = emb.astype(np.float32) - means.astype(np.float32)[None, :]
+    return _tiled_matmul(
+        np.ascontiguousarray(centered), np.ascontiguousarray(matrix.T.astype(np.float32))
+    )
+
+
 def _pool(batch: np.ndarray) -> np.ndarray:
     """B×S×S×3 → B×(_POOL²·3) mean-pooled features (S divisible by _POOL or not —
     integral pooling over equal index ranges)."""
