@@ -318,3 +318,61 @@ def test_audio_fuzz_adversarial_containers_raise_cleanly(data):
         ) from e
     else:
         assert sr > 0 and isinstance(x, np.ndarray)
+
+
+def test_wav_pcm24_and_float_roundtrip():
+    """VERDICT r6 item: real corpora carry 24-bit and float WAVs. PCM24
+    roundtrips exactly at 24-bit precision (→ float32 ÷2^23); IEEE-float32
+    roundtrips bit-exactly; mono_mixdown normalizes each dtype correctly."""
+    import numpy as np
+
+    from video_features_spark.functions.wav import decode_wav, encode_wav, mono_mixdown
+
+    rng = np.random.default_rng(9)
+    # PCM24 stereo
+    p24 = rng.integers(-(1 << 23), 1 << 23, (480, 2), dtype=np.int32)
+    out, sr = decode_wav(encode_wav(p24, 16000))
+    assert sr == 16000 and out.dtype == np.float32 and out.shape == (480, 2)
+    assert np.array_equal(np.round(out * (1 << 23)).astype(np.int32), p24)
+    # IEEE float32 mono
+    f32 = (rng.standard_normal(512) * 0.4).astype(np.float32)
+    out, sr = decode_wav(encode_wav(f32, 8000))
+    assert out.dtype == np.float32 and np.array_equal(out[:, 0], f32)
+    # mixdown: float input only averages; int16 still scales by 2^15
+    m = mono_mixdown(out)
+    assert np.allclose(m, f32, atol=0)
+    i16 = np.full((4, 2), 16384, np.int16)
+    assert np.allclose(mono_mixdown(i16), 0.5)
+
+
+def test_wav_extensible_and_pcm32_decode():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves through the SubFormat GUID;
+    PCM32 normalizes by 2^31."""
+    import struct
+
+    import numpy as np
+
+    from video_features_spark.functions.wav import decode_wav
+
+    # hand-build an extensible-PCM16 file (fmt chunk of 40 bytes + GUID)
+    x = np.array([[1000], [-2000], [32767]], "<i2")
+    data = x.tobytes()
+    # 40-byte fmt body: base fields + cbSize(22) + validbits + chanmask +
+    # 16-byte SubFormat GUID whose first two bytes carry the real fmt code
+    guid = struct.pack("<H", 1) + b"\x00\x00" + bytes(12)
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 32000, 2, 16)
+    fmt += struct.pack("<HHI", 22, 16, 1) + guid
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    out, sr = decode_wav(blob)
+    assert sr == 16000 and out.dtype == np.int16
+    assert np.array_equal(out[:, 0], x[:, 0])
+    # PCM32
+    v = np.array([1 << 30, -(1 << 30), 0], "<i4")
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, 16000, 64000, 4, 32)
+    body = b"fmt " + fmt + b"data" + struct.pack("<I", 12) + v.tobytes()
+    blob = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    out, sr = decode_wav(blob)
+    assert out.dtype == np.float32
+    assert np.allclose(out[:, 0], [0.5, -0.5, 0.0])

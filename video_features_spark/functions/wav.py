@@ -34,25 +34,49 @@ WAV_HEADER_BYTES = 44  # canonical PCM fmt+data header this encoder emits
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = SAMPLE_RATE) -> bytes:
-    """int16 PCM samples (n,) or (n, ch) → RIFF/WAVE bytes (44-byte header)."""
-    x = np.asarray(samples, dtype="<i2")
+    """PCM samples (n,) or (n, ch) → RIFF/WAVE bytes. dtype picks the
+    on-disk format: int16 → PCM16 (the 44-byte header every consumer of this
+    encoder has always seen), float32 → IEEE-float (fmt 3), int32 → PCM24
+    (values must fit ±2^23; low 3 LE bytes packed) — the two extra formats
+    real corpora carry (decode side handles them + WAVE_FORMAT_EXTENSIBLE)."""
+    x = np.asarray(samples)
     if x.ndim == 1:
         x = x[:, None]
+    if x.dtype == np.float32:
+        fmt_code, width = 3, 4
+        data = np.ascontiguousarray(x, dtype="<f4").tobytes()
+    elif x.dtype == np.int32:
+        fmt_code, width = 1, 3
+        if int(np.abs(x).max(initial=0)) >= 1 << 23:
+            raise ValueError("PCM24 samples must fit in ±2^23")
+        b4 = np.ascontiguousarray(x, dtype="<i4").view(np.uint8).reshape(-1, 4)
+        data = np.ascontiguousarray(b4[:, :3]).tobytes()  # low 3 LE bytes
+    else:
+        fmt_code, width = 1, 2
+        data = np.ascontiguousarray(x, dtype="<i2").tobytes()
     n, ch = x.shape
-    data = x.tobytes()
-    byte_rate = sample_rate * ch * 2
+    byte_rate = sample_rate * ch * width
     hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, fmt_code, ch, sample_rate, byte_rate, ch * width, width * 8
+    )
     hdr += b"data" + struct.pack("<I", len(data))
     return hdr + data
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM16 bytes → (int16 array (n, ch), sample_rate). Walks the
-    chunk list (files from other encoders may carry LIST/fact chunks)."""
+    """RIFF/WAVE bytes → (array (n, ch), sample_rate). Walks the chunk list
+    (files from other encoders may carry LIST/fact chunks). Formats: PCM16 →
+    int16 (bit-compatible with every existing consumer); PCM24/PCM32 →
+    float32 in [-1, 1] (÷2²³ / ÷2³¹); IEEE float32/float64 (fmt 3) →
+    float32 as stored; WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves through its
+    SubFormat GUID. Real corpora carry all of these — the reference gets
+    them for free from ffmpeg (utils/io.py); this decode is the
+    dependency-free twin."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, ch, sr, bits = 12, None, None, None
+    fmt_code = None
     pcm = None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
@@ -60,15 +84,34 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + size]
         if tag == b"fmt ":
             fmt_code, ch, sr, _, _, bits = struct.unpack("<HHIIHH", body[:16])
-            if fmt_code != 1 or bits != 16:
-                raise ValueError(f"only PCM16 supported (fmt={fmt_code}, bits={bits})")
+            if fmt_code == 0xFFFE and len(body) >= 40:
+                # extensible: the real format is the SubFormat GUID's first
+                # two bytes (bits stays the container width)
+                (fmt_code,) = struct.unpack("<H", body[24:26])
         elif tag == b"data":
             pcm = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if pcm is None or ch is None:
         raise ValueError("missing fmt/data chunk")
-    x = np.frombuffer(pcm, dtype="<i2")
-    return x.reshape(-1, ch), sr
+    if fmt_code == 1 and bits == 16:
+        return np.frombuffer(pcm, dtype="<i2").reshape(-1, ch), sr
+    if fmt_code == 1 and bits == 24:
+        b = np.frombuffer(pcm[: len(pcm) - len(pcm) % 3], np.uint8).reshape(-1, 3)
+        v = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)  # sign-extend 24→32
+        return (v.astype(np.float32) / float(1 << 23)).reshape(-1, ch), sr
+    if fmt_code == 1 and bits == 32:
+        v = np.frombuffer(pcm, dtype="<i4")
+        return (v.astype(np.float32) / float(1 << 31)).reshape(-1, ch), sr
+    if fmt_code == 3 and bits == 32:
+        return np.frombuffer(pcm, dtype="<f4").reshape(-1, ch).copy(), sr
+    if fmt_code == 3 and bits == 64:
+        return np.frombuffer(pcm, dtype="<f8").astype(np.float32).reshape(-1, ch), sr
+    raise ValueError(f"unsupported WAV format (fmt={fmt_code}, bits={bits})")
 
 
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
@@ -231,8 +274,12 @@ def demux_audio(data: bytes, allow_ffmpeg: bool = True) -> tuple[np.ndarray, int
 
 
 def mono_mixdown(x: np.ndarray) -> np.ndarray:
-    """(n, ch) int16 → (n,) float32 in [-1, 1]: channel mean then scale —
-    the reference's ``np.mean(data, axis=1)`` mixdown (vggish_input.py:53-54)."""
+    """(n, ch) → (n,) float32 in [-1, 1]: channel mean then scale — the
+    reference's ``np.mean(data, axis=1)`` mixdown (vggish_input.py:53-54).
+    int16 input divides by 2^15; float input (decode_wav's PCM24/32 and
+    IEEE-float outputs) is already normalized and only averages."""
+    if np.issubdtype(x.dtype, np.floating):
+        return x.astype(np.float32).mean(axis=1).astype(np.float32)
     return (x.astype(np.float32).mean(axis=1) / 32768.0).astype(np.float32)
 
 

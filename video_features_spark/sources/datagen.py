@@ -240,9 +240,21 @@ def _audio_row(seed: int, rid: int, n_entities: int, sample_rate: int = 16000) -
     ch = 2 if rng.random() < 0.3 else 1
     if ch == 2:
         pcm = np.stack([pcm, np.clip(pcm * 0.8, -32768, 32767).astype(np.int16)], axis=1)
+    # real corpora are not all PCM16: a slice ships as IEEE-float32 or PCM24
+    # WAV. The sample VALUES are chosen to decode to the identical float32
+    # the PCM16 path yields (x/2^15 == (x<<8)/2^23 exactly), so downstream
+    # features are bit-identical while the decode-anything path runs on
+    # every audio query end to end.
+    v = rng.random()
+    if v < 0.15:
+        payload = encode_wav(pcm.astype(np.float32) / 32768.0, sample_rate)
+    elif v < 0.30:
+        payload = encode_wav(pcm.astype(np.int32) << 8, sample_rate)
+    else:
+        payload = encode_wav(pcm, sample_rate)
     return (
         f"clip{rid:08d}", f"e{entity:05d}", ts,
-        bytearray(encode_wav(pcm, sample_rate)), sample_rate, ch, n,
+        bytearray(payload), sample_rate, ch, n,
     )
 
 
