@@ -503,21 +503,31 @@ def test_png_foreign_filters_on_gray_and_rgba():
     assert (decode_png(enc(rgba, 6, 4)) == rgba[:, :, :3]).all()
 
 
-def test_png_interlaced_rejected():
+def test_png_interlaced_hand_built_stream():
+    """A hand-built 4×4 Adam7 RGB stream (passes 1/2/4/6 each contribute one
+    sub-block at this size) decodes to the expected scatter — independent of
+    our own encoder's pass serialization."""
     import struct
     import zlib
 
-    from video_features_spark.functions.codec import _PNG_SIG, _chunk
+    from video_features_spark.functions.codec import _ADAM7, _PNG_SIG, _chunk
 
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)  # Adam7 flag set
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    raw = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        sh, sw = sub.shape[:2]
+        raw += b"".join(b"\x00" + sub[y].tobytes() for y in range(sh))
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
     data = (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(b"\x00" * 52))
+        + _chunk(b"IDAT", zlib.compress(raw))
         + _chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="interlace"):
-        decode_png(data)
+    assert (decode_png(data) == img).all()
 
 
 def test_jpeg_progressive_eobrun_gt1_decode():
@@ -583,3 +593,68 @@ def test_jpeg_progressive_eobrun_gt1_decode():
     assert blocks[1][1] == -2
     assert blocks[3][5] == -5
     assert eobrun == 0
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 (spec §8.2): seven filtered sub-images scattered on the pass
+    grid — roundtrip per colortype, including sizes that leave some passes
+    empty."""
+    rng = np.random.default_rng(31)
+    for h, w in [(33, 21), (8, 8), (7, 5), (3, 2), (1, 1)]:
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_png(encode_png(rgb, interlace=True)) == rgb).all()
+    gray = rng.integers(0, 256, (19, 26), dtype=np.uint8)
+    out = decode_png(encode_png(gray, interlace=True))
+    assert (out == gray[:, :, None]).all()
+    rgba = rng.integers(0, 256, (12, 17, 4), dtype=np.uint8)
+    assert (decode_png(encode_png(rgba, interlace=True)) == rgba[:, :, :3]).all()
+
+
+def test_png_16bit_takes_high_byte():
+    """Bitdepth 16 (big-endian samples): decode keeps the high byte, the
+    cv2/PIL 8-bit conversion — both straight and interlaced."""
+    rng = np.random.default_rng(37)
+    deep = rng.integers(0, 1 << 16, (14, 23, 3), dtype=np.uint16)
+    assert (decode_png(encode_png(deep)) == (deep >> 8).astype(np.uint8)).all()
+    assert (
+        decode_png(encode_png(deep, interlace=True)) == (deep >> 8).astype(np.uint8)
+    ).all()
+    gray16 = rng.integers(0, 1 << 16, (9, 11), dtype=np.uint16)
+    out = decode_png(encode_png(gray16))
+    assert (out == (gray16 >> 8).astype(np.uint8)[:, :, None]).all()
+
+
+def test_png_subbyte_depths():
+    """1/2/4-bit grayscale scales to full range (255/85/17 steps); 4-bit
+    palette indices resolve through PLTE. Streams hand-built (the encoder
+    writes 8/16-bit only)."""
+    import struct
+    import zlib
+
+    from video_features_spark.functions.codec import _PNG_SIG, _chunk
+
+    def build(w, h, depth, colortype, rows, plte=None):
+        stride = (w * depth + 7) // 8
+        raw = b"".join(b"\x00" + r.tobytes()[:stride] for r in rows)
+        out = _PNG_SIG + _chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, colortype, 0, 0, 0)
+        )
+        if plte is not None:
+            out += _chunk(b"PLTE", plte.tobytes())
+        return out + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+    # 1-bit gray, 10 px wide: bits 1010101010 -> bytes 0xAA, 0x80
+    rows = [np.array([0xAA, 0x80], np.uint8), np.array([0x55, 0x40], np.uint8)]
+    out = decode_png(build(10, 2, 1, 0, rows))
+    assert out.shape == (2, 10, 3)
+    assert (out[0, :, 0] == np.array([255, 0] * 5)).all()
+    assert (out[1, :, 0] == np.array([0, 255] * 5)).all()
+    # 2-bit gray: values 0..3 -> 0/85/170/255
+    rows = [np.array([0b00011011], np.uint8)]  # 0,1,2,3
+    out = decode_png(build(4, 1, 2, 0, rows))
+    assert (out[0, :, 0] == np.array([0, 85, 170, 255])).all()
+    # 4-bit palette: indices 0..5 across 3 bytes
+    pal = (np.arange(48, dtype=np.uint8) * 5).reshape(16, 3)
+    rows = [np.array([0x01, 0x23, 0x45], np.uint8)]
+    out = decode_png(build(6, 1, 4, 3, rows, plte=pal))
+    assert (out[0] == pal[np.arange(6)]).all()

@@ -46,30 +46,60 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-# channels per PNG colortype (spec §11.2.2); bitdepth 8 only in this codec
+# channels per PNG colortype (spec §11.2.2)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Adam7 interlace pass grid (spec §8.2): (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-def encode_png(arr: np.ndarray, palette: np.ndarray | None = None) -> bytes:
-    """Minimal-but-real 8-bit PNG encoder (filter type 0 per scanline).
+
+def encode_png(
+    arr: np.ndarray, palette: np.ndarray | None = None, interlace: bool = False
+) -> bytes:
+    """Minimal-but-real PNG encoder (filter type 0 per scanline).
     Colortype from shape: ``(h,w)`` → grayscale (0) — or palette (3) when
     ``palette`` (≤256×3 uint8) is given and ``arr`` holds indices;
     ``(h,w,2)`` → gray+alpha (4); ``(h,w,3)`` → RGB (2); ``(h,w,4)`` →
-    RGBA (6). Real scraped corpora carry all of these (the reference decodes
-    them via cv2, ``utils/io.py:131``)."""
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    RGBA (6). dtype uint16 writes bitdepth 16 (big-endian samples);
+    ``interlace=True`` writes Adam7 (each pass its own filtered sub-image).
+    Real scraped corpora carry all of these (the reference decodes them via
+    cv2, ``utils/io.py:131``)."""
+    if arr.dtype == np.uint16:
+        arr, bitdepth = np.ascontiguousarray(arr), 16
+    else:
+        arr, bitdepth = np.ascontiguousarray(arr, dtype=np.uint8), 8
     if arr.ndim == 2:
         h, w = arr.shape
         channels, colortype = 1, (3 if palette is not None else 0)
+        arr = arr[:, :, None]
     else:
         h, w, channels = arr.shape
-        colortype = {2: 4, 3: 2, 4: 6}[channels]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
-    raw = np.concatenate(
-        [np.zeros((h, 1), np.uint8), arr.reshape(h, w * channels)], axis=1
-    ).tobytes()
+        colortype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def scanlines(sub: np.ndarray) -> bytes:
+        sh, sw = sub.shape[:2]
+        if sh == 0 or sw == 0:
+            return b""
+        flat = (
+            sub.astype(">u2").view(np.uint8).reshape(sh, sw * channels * 2)
+            if bitdepth == 16
+            else sub.reshape(sh, sw * channels)
+        )
+        return np.concatenate([np.zeros((sh, 1), np.uint8), flat], axis=1).tobytes()
+
+    if interlace:
+        raw = b"".join(
+            scanlines(arr[y0::dy, x0::dx]) for x0, y0, dx, dy in _ADAM7
+        )
+    else:
+        raw = scanlines(arr)
+    ihdr = struct.pack(">IIBBBBB", w, h, bitdepth, colortype, 0, 0, int(interlace))
     chunks = _PNG_SIG + _chunk(b"IHDR", ihdr)
     if colortype == 3:
+        assert bitdepth == 8, "palette PNGs are 8-bit in this encoder"
         pal = np.ascontiguousarray(palette, dtype=np.uint8)
         assert pal.ndim == 2 and pal.shape[1] == 3 and pal.shape[0] <= 256
         assert int(arr.max(initial=0)) < pal.shape[0], "palette index out of range"
@@ -111,12 +141,32 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _png_subimage(buf: bytes, pw: int, ph: int, channels: int, bitdepth: int) -> np.ndarray:
+    """One filtered sub-image (the whole image, or one Adam7 pass) →
+    (ph, pw, channels) uint8 samples. 16-bit takes the high byte (cv2/PIL
+    8-bit conversion); sub-byte depths unpack MSB-first."""
+    stride = (pw * channels * bitdepth + 7) // 8
+    bpp = max(1, channels * bitdepth // 8)
+    px = _unfilter(np.frombuffer(buf, np.uint8), ph, stride, bpp)
+    if bitdepth == 8:
+        return px[:, : pw * channels].reshape(ph, pw, channels)
+    if bitdepth == 16:
+        return px[:, : pw * channels * 2 : 2].reshape(ph, pw, channels)
+    # 1/2/4-bit (gray or palette ⇒ channels == 1): MSB-first within each byte
+    bits = np.unpackbits(px, axis=1)[:, : pw * bitdepth]
+    weights = 1 << np.arange(bitdepth - 1, -1, -1)
+    vals = (bits.reshape(ph, pw, bitdepth) * weights).sum(axis=2).astype(np.uint8)
+    return vals[:, :, None]
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode any 8-bit non-interlaced PNG — colortypes 0 (grayscale),
-    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) — to uint8 H×W×3 RGB,
-    matching the reference's decode-anything cv2 path (``utils/io.py:131``):
-    grayscale replicates to 3 channels, palette indices resolve through PLTE,
-    alpha is dropped (cv2 IMREAD_COLOR / PIL convert("RGB") behavior)."""
+    """Decode any PNG — colortypes 0 (grayscale), 2 (RGB), 3 (palette),
+    4 (gray+alpha), 6 (RGBA); bitdepths 1/2/4/8/16; Adam7 interlaced or not —
+    to uint8 H×W×3 RGB, matching the reference's decode-anything cv2 path
+    (``utils/io.py:131``): grayscale replicates to 3 channels (sub-byte
+    depths scale to full range), palette indices resolve through PLTE,
+    16-bit keeps the high byte, alpha is dropped (cv2 IMREAD_COLOR / PIL
+    convert("RGB") behavior)."""
     assert data[:8] == _PNG_SIG, "not a PNG"
     pos, w = 8, 0
     idat = b""
@@ -137,26 +187,49 @@ def decode_png(data: bytes) -> np.ndarray:
         elif tag == b"IEND":
             break
         pos += 12 + length
-    if bitdepth != 8 or colortype not in _PNG_CHANNELS or interlace:
+    legal_depths = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                    4: (8, 16), 6: (8, 16)}
+    if colortype not in _PNG_CHANNELS or bitdepth not in legal_depths[colortype] \
+            or interlace not in (0, 1):
         raise ValueError(
             f"unsupported PNG (bitdepth={bitdepth}, colortype={colortype}, "
-            f"interlace={interlace}): only 8-bit non-interlaced 0/2/3/4/6"
+            f"interlace={interlace})"
         )
     channels = _PNG_CHANNELS[colortype]
     from .jpeg import MAX_DECODE_PIXELS
 
     if not h or not w or h * w > MAX_DECODE_PIXELS:
         raise ValueError(f"corrupt PNG: implausible dimensions {w}x{h}")
+
+    def nbytes(pw: int, ph: int) -> int:
+        if not pw or not ph:
+            return 0
+        return ph * ((pw * channels * bitdepth + 7) // 8 + 1)
+
+    passes = (
+        [(x0, y0, dx, dy,
+          (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+         for x0, y0, dx, dy in _ADAM7]
+        if interlace
+        else [(0, 0, 1, 1, w, h)]
+    )
     # decompress EXACTLY the pixel-data size the header implies (+1 to detect
     # excess): an uncapped zlib.decompress would hand an adversarial deflate
     # bomb unbounded memory before the reshape below ever catches it
-    want = h * (w * channels + 1)
+    want = sum(nbytes(pw, ph) for *_, pw, ph in passes)
     dec = zlib.decompressobj()
     raw_bytes = dec.decompress(idat, want + 1)
     if len(raw_bytes) != want:
         raise ValueError("corrupt PNG: pixel data length mismatch")
-    raw = np.frombuffer(raw_bytes, np.uint8)
-    px = _unfilter(raw, h, w * channels, channels).reshape(h, w, channels)
+    px = np.zeros((h, w, channels), np.uint8)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        n = nbytes(pw, ph)
+        if n:
+            px[y0::dy, x0::dx] = _png_subimage(
+                raw_bytes[off : off + n], pw, ph, channels, bitdepth
+            )
+            off += n
     if colortype == 2:
         return px
     if colortype == 6:
@@ -169,8 +242,12 @@ def decode_png(data: bytes) -> np.ndarray:
         if int(idx.max(initial=0)) >= pal.shape[0]:
             raise ValueError("corrupt PNG: palette index out of range")
         return pal[idx]
-    # colortypes 0 / 4: replicate luma, drop alpha if present
-    return np.repeat(px[:, :, :1], 3, axis=2)
+    # colortypes 0 / 4: replicate luma (sub-byte scaled to full range),
+    # drop alpha if present
+    gray = px[:, :, :1]
+    if bitdepth < 8:
+        gray = gray * np.uint8(255 // ((1 << bitdepth) - 1))
+    return np.repeat(gray, 3, axis=2)
 
 
 def encode_qjpg(arr: np.ndarray, step: int = QJPG_STEP) -> bytes:
