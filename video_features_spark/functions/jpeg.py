@@ -114,53 +114,106 @@ for _k in range(8):
 
 
 class _HuffTable:
-    """Canonical Huffman decode via MINCODE/MAXCODE/VALPTR (T.81 §F.2.2.3)."""
+    """Canonical Huffman table with a 16-bit peek LUT: every possible 16-bit
+    window maps to a fused (length << 8 | symbol) entry in one list read,
+    replacing the bit-at-a-time MINCODE/MAXCODE walk of T.81 §F.2.2.3 (same
+    canonical code assignment — the LUT is just its closed form). Instances
+    are memoized on the (bits, values) spec via ``for_spec``: rebuilding the
+    64K LUT cost ~10 ms per image, and real encoders reuse the Annex K
+    tables across whole corpora."""
+
+    _memo: "dict[tuple, _HuffTable]" = {}
+
+    @classmethod
+    def for_spec(cls, bits: list[int], values: list[int]) -> "_HuffTable":
+        key = (tuple(bits), tuple(values))
+        t = cls._memo.get(key)
+        if t is None:
+            if len(cls._memo) > 64:  # decoder tables are few; bound anyway
+                cls._memo.clear()
+            t = cls._memo[key] = cls(bits, values)
+        return t
 
     def __init__(self, bits: list[int], values: list[int]):
         self.values = values
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
+        # one fused entry per window: (length << 8) | symbol, as a plain
+        # Python list — numpy scalar indexing in the per-symbol hot loop
+        # costs more than the Huffman walk it replaces
+        lut = np.zeros(1 << 16, np.int32)
         code, k = 0, 0
         for length in range(1, 17):
-            self.valptr[length] = k
-            self.mincode[length] = code
-            code += bits[length - 1]
-            k += bits[length - 1]
-            self.maxcode[length] = code - 1 if bits[length - 1] else -1
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                hi = (code + 1) << (16 - length)
+                lut[lo:hi] = (length << 8) | values[k]
+                code += 1
+                k += 1
             code <<= 1
+        self.lut = lut.tolist()
 
 
 class _BitReader:
+    """MSB-first bit reader over unstuffed entropy bytes. Reads past the end
+    see 1-padding (T.81 §B.1.1.5 pad bits); consuming beyond the final pad
+    byte raises the corrupt-stream error the row quarantine expects."""
+
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0
-        self.bit = 0
+        # 4 pad bytes make every peek a fixed-width slice (no length checks
+        # in the hot loop); 0xFF mimics the spec's 1-bit padding
+        self.pad = data + b"\xff\xff\xff\xff"
+        self.nbits = len(data) * 8
+        self.bit_pos = 0
+
+    def _peek32(self) -> int:
+        byte = self.bit_pos >> 3
+        return int.from_bytes(self.pad[byte : byte + 4], "big")
 
     def read_bit(self) -> int:
-        b = self.data[self.pos]
-        v = (b >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
+        if self.bit_pos >= self.nbits:
+            raise ValueError("corrupt JPEG: entropy data exhausted")
+        b = self.data[self.bit_pos >> 3]
+        v = (b >> (7 - (self.bit_pos & 7))) & 1
+        self.bit_pos += 1
         return v
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self.bit_pos + n > self.nbits:
+            raise ValueError("corrupt JPEG: entropy data exhausted")
+        off = self.bit_pos & 7
+        v = (self._peek32() >> (32 - off - n)) & ((1 << n) - 1)
+        self.bit_pos += n
         return v
 
+    def receive_extend(self, t: int) -> int:
+        """RECEIVE + EXTEND fused (T.81 §F.2.2.1): read t magnitude bits and
+        map to the signed coefficient — one peek for the entropy loop's most
+        frequent companion call."""
+        if t == 0:
+            return 0
+        v = self.read_bits(t)
+        return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
     def decode_huff(self, table: _HuffTable) -> int:
-        code = self.read_bit()
-        length = 1
-        while code > table.maxcode[length]:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            if length > 16:
-                raise ValueError("corrupt JPEG: huffman code > 16 bits")
-        return table.values[table.valptr[length] + code - table.mincode[length]]
+        pos = self.bit_pos
+        if pos >= self.nbits:
+            raise ValueError("corrupt JPEG: entropy data exhausted")
+        byte = pos >> 3
+        window = (
+            int.from_bytes(self.pad[byte : byte + 3], "big") >> (8 - (pos & 7))
+        ) & 0xFFFF
+        entry = table.lut[window]
+        if entry == 0:
+            raise ValueError("corrupt JPEG: invalid huffman code")
+        length = entry >> 8
+        if pos + length > self.nbits:
+            # pad bits are real bytes in `data`, so a legal code never ends
+            # past them
+            raise ValueError("corrupt JPEG: entropy data exhausted")
+        self.bit_pos = pos + length
+        return entry & 0xFF
 
 
 def _extend(v: int, t: int) -> int:
@@ -215,7 +268,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(seg[i + 1 : i + 17])
                 n = sum(bits)
                 vals = list(seg[i + 17 : i + 17 + n])
-                huff[(cls, tid)] = _HuffTable(bits, vals)
+                huff[(cls, tid)] = _HuffTable.for_spec(bits, vals)
                 i += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             h, w = struct.unpack(">HH", seg[1:5])
@@ -269,48 +322,100 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 def _entropy_segments(data: bytes, start: int) -> tuple[list[bytes], int]:
     """Split one scan's entropy data at restart markers, unstuffing FF00 →
     FF. Returns the segments and the offset where the scan ended (the 0xFF
-    of the terminating marker, or EOF)."""
-    segs, cur = [], bytearray()
-    i = start
-    while i < len(data):
-        b = data[i]
-        if b == 0xFF:
-            nxt = data[i + 1] if i + 1 < len(data) else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                segs.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # any other marker ends the scan (EOI, next SOS, ...)
-        cur.append(b)
-        i += 1
-    segs.append(bytes(cur))
-    return segs, i
+    of the terminating marker, or EOF). Hops between 0xFF positions with
+    ``bytes.find`` and unstuffs whole segments with ``bytes.replace`` — both
+    C loops; the former byte-at-a-time Python walk was ~25% of a small
+    image's decode time."""
+    segs = []
+    n = len(data)
+    seg_start = i = start
+
+    def close(end: int) -> None:
+        segs.append(data[seg_start:end].replace(b"\xff\x00", b"\xff"))
+
+    while True:
+        j = data.find(b"\xff", i)
+        if j == -1:
+            close(n)
+            return segs, n
+        if j + 1 >= n:  # trailing FF at EOF: treat as scan end
+            close(j)
+            return segs, j
+        nxt = data[j + 1]
+        if nxt == 0x00:
+            i = j + 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:  # RSTn
+            close(j)
+            seg_start = i = j + 2
+            continue
+        close(j)  # any other marker ends the scan (EOI, next SOS, ...)
+        return segs, j
 
 
 def _baseline_block(reader, dct_t, act_t, coef, ci, dc_pred):
-    """Sequential block: DC diff + AC run-lengths into zigzag ``coef``."""
-    t = reader.decode_huff(dct_t)
-    dc_pred[ci] += _extend(reader.read_bits(t), t) if t else 0
+    """Sequential block: DC diff + AC run-lengths into zigzag ``coef``.
+    The reader state is localized and the peek/LUT/extend steps are inlined:
+    this loop runs once per (symbol, coefficient) of every baseline image —
+    ~3 function calls per symbol otherwise, which profiling showed to be
+    the decode's dominant cost after the batched IDCT."""
+    pad = reader.pad
+    nbits = reader.nbits
+    pos = reader.bit_pos
+    dlut = dct_t.lut
+    alut = act_t.lut
+    frm = int.from_bytes
+    # ---- DC
+    if pos >= nbits:
+        raise ValueError("corrupt JPEG: entropy data exhausted")
+    b = pos >> 3
+    entry = dlut[(frm(pad[b : b + 3], "big") >> (8 - (pos & 7))) & 0xFFFF]
+    if entry == 0:
+        raise ValueError("corrupt JPEG: invalid huffman code")
+    pos += entry >> 8
+    t = entry & 0xFF
+    if pos + t > nbits:
+        raise ValueError("corrupt JPEG: entropy data exhausted")
+    if t:
+        b = pos >> 3
+        v = (frm(pad[b : b + 4], "big") >> (32 - (pos & 7) - t)) & ((1 << t) - 1)
+        pos += t
+        if v < 1 << (t - 1):
+            v += 1 - (1 << t)
+        dc_pred[ci] += v
     coef[0] = dc_pred[ci]
+    # ---- AC
     k = 1
     while k < 64:
-        rs = reader.decode_huff(act_t)
-        r, size = rs >> 4, rs & 0xF
+        if pos >= nbits:
+            raise ValueError("corrupt JPEG: entropy data exhausted")
+        b = pos >> 3
+        entry = alut[(frm(pad[b : b + 3], "big") >> (8 - (pos & 7))) & 0xFFFF]
+        if entry == 0:
+            raise ValueError("corrupt JPEG: invalid huffman code")
+        pos += entry >> 8
+        rs = entry & 0xFF
+        size = rs & 0xF
         if size == 0:
-            if r == 15:  # ZRL: 16 zeros
+            if rs == 0xF0:  # ZRL: 16 zeros
                 k += 16
                 continue
             break  # EOB
-        k += r
+        k += rs >> 4
         if k > 63:
             raise ValueError("corrupt JPEG: AC index overflow")
-        coef[k] = _extend(reader.read_bits(size), size)
+        if pos + size > nbits:
+            raise ValueError("corrupt JPEG: entropy data exhausted")
+        b = pos >> 3
+        v = (frm(pad[b : b + 4], "big") >> (32 - (pos & 7) - size)) & ((1 << size) - 1)
+        pos += size
+        if v < 1 << (size - 1):
+            v += 1 - (1 << size)
+        coef[k] = v
         k += 1
+    if pos > nbits:
+        raise ValueError("corrupt JPEG: entropy data exhausted")
+    reader.bit_pos = pos
 
 
 def _ac_first_block(reader, act_t, coef, ss, se, al, eobrun):
@@ -447,7 +552,7 @@ def _run_scan(data, start, frame, scan_sel, band, huff, coefs, restart_interval)
             )
         elif ss == 0 and ah == 0:  # DC initial (Al-shifted diffs)
             t = reader.decode_huff(huff[(0, s["dc"])])
-            dc_pred[ci] += _extend(reader.read_bits(t), t) if t else 0
+            dc_pred[ci] += reader.receive_extend(t)
             coef[0] = dc_pred[ci] << al
         elif ss == 0:  # DC refinement: one bit per block
             if reader.read_bit():
@@ -477,8 +582,9 @@ def _reconstruct(frame, coefs, qt):
         blocks = np.zeros((by, bx, 64), np.float32)
         blocks[..., ZIGZAG] = zz  # scatter zigzag → raster
         f = blocks.reshape(by, bx, 8, 8)
-        # IDCT: f = C.T @ F @ C, batched over every block at once
-        pix = np.einsum("ak,yxab,bl->yxkl", _C, f, _C, optimize=True) + 128.0
+        # IDCT: f = C.T @ F @ C, batched over every block at once — matmul
+        # broadcasting beats the einsum/tensordot path ~20-50x on (..,8,8)
+        pix = _C.T @ f @ _C + 128.0
         p = pix.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         ry, rx = vmax // comp["v"], hmax // comp["h"]
         if ry > 1 or rx > 1:
@@ -705,7 +811,7 @@ def _quantized_blocks(img: np.ndarray, quality: int):
         pad[:, w:] = pad[:, w - 1 : w]
         pad -= 128.0
         f = pad.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
-        coefs = np.einsum("ka,yxab,lb->yxkl", _C, f, _C, optimize=True)
+        coefs = _C @ f @ _C.T  # FDCT batched over every block
         qtab = (qly if ci == 0 else qlc).astype(np.float32)  # raster order
         q = np.round(coefs.reshape(ph // 8, pw // 8, 64) / qtab).astype(np.int32)
         out.append(q[..., ZIGZAG])  # raster → zigzag (zz[i] = q[ZIGZAG[i]])
