@@ -43,6 +43,41 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+
+def _spread_scan(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """Lift scan parallelism when the input arrives in fewer partitions than
+    the session can use (guide §2.5 "input skew": a single-row-group parquet
+    file scans as ONE task, serializing every per-row transform above it —
+    the driver testdata tables are exactly that shape). Hash-repartition on
+    ``key_col`` (deterministic, no sort-before-repartition pass; Murmur3 over
+    thousands of distinct ids spreads evenly). No-op when the input is
+    already parallel (the 100 TB case — real corpora arrive in thousands of
+    splits) or streaming, so this never adds a shuffle at scale; locally it
+    trades one tiny exchange for 32-way parallelism of the md5/shingle work.
+    The target is the session's scheduling parallelism, not a constant."""
+    if df.isStreaming:
+        return df
+    try:
+        # probe ONLY scan-shaped plans: on a plan containing shuffles (joins,
+        # aggregates, repartitions) `.rdd` forces AQE to EXECUTE the upstream
+        # stages as a throwaway job — and such plans are already parallel
+        # anyway. Plan inspection is planning-time only, no execution.
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        nodes = {
+            ln.split("'")[0].strip("+-: ").split(" ")[0]
+            for ln in plan.splitlines()
+            if ln.strip()
+        }
+        if not nodes <= {"Project", "Filter", "Relation", "LogicalRDD", "MapInPandas"}:
+            return df
+        target = df.sparkSession.sparkContext.defaultParallelism
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 - parallelism probe must never break a plan
+        return df
+    if nparts >= target:
+        return df
+    return df.repartition(target, key_col) if key_col else df.repartition(target)
+
 # 2^32 < P (prime); md5-prefix hashes are < 2^32, so (a*h + b) % P is
 # collision-structured like a universal hash family
 _P = 4294967311
@@ -115,6 +150,7 @@ def jaccard_pairs(
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
     |A∩B| via shingle self-join, |A∪B| = |A|+|B|−|A∩B|. Output
     (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold."""
+    df = _spread_scan(df, id_col)
     sh = shingle_table(df, id_col, text_col, n, max_shingle_freq)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "h")
@@ -216,14 +252,15 @@ def _resolve_candidate_pairs(
     ≤ cap rows it returned EVERY candidate (deterministic full set), so the
     chain is replaced by a driver-local table: the broadcast and every later
     reference reuse it at zero recompute. Returns (pairs, broadcast?)."""
-    head = pairs.limit(max_broadcast_pairs + 1).collect()
+    # Arrow transfer (toPandas) instead of a Row-object collect: the probe
+    # moves up to cap+1 rows to the driver, and columnar Arrow is ~10x the
+    # row-pickle path for a 100k+-pair candidate set (guide §6 "Arrow for
+    # driver transfers"); localizing back via createDataFrame(pandas) rides
+    # Arrow too. Same rows, same bounded-probe semantics.
+    head = pairs.limit(max_broadcast_pairs + 1).toPandas()
     if len(head) > max_broadcast_pairs:
         return pairs, False
-    import pandas as pd
-
-    local = pairs.sparkSession.createDataFrame(
-        pd.DataFrame(head, columns=pairs.columns), schema=pairs.schema
-    )
+    local = pairs.sparkSession.createDataFrame(head, schema=pairs.schema)
     return local, True
 
 
@@ -315,16 +352,29 @@ def jaccard_on_pair_sets(
         .hint("shuffle_hash")
     )
     cand = F.broadcast(pairs) if broadcast_pairs else pairs
-    inter = F.size(F.array_intersect("__sa", "__sb"))
-    union_sz = F.size("__sa") + F.size("__sb") - inter
-    return (
+    # two-step projection so the O(|A|+|B|) array_intersect runs ONCE per
+    # pair: inlined into the jaccard expression it is evaluated three times
+    # (tie condition, numerator, denominator) — HOF/collection expressions
+    # are CodegenFallback, so codegen subexpression elimination never merges
+    # them. Aliasing intersect/size in their own projection makes the
+    # references attribute reads (same arithmetic, same values).
+    scored = (
         cand.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
+            F.size(F.array_intersect("__sa", "__sb")).alias("__i"),
+            (F.size("__sa") + F.size("__sb")).alias("__sz"),
+        )
+    )
+    union_sz = F.col("__sz") - F.col("__i")
+    return (
+        scored.select(
+            "id_a",
+            "id_b",
             F.when(union_sz == 0, F.lit(0.0))
-            .otherwise(inter / union_sz)
+            .otherwise(F.col("__i") / union_sz)
             .alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -417,6 +467,9 @@ def minhash_dedup(
     (``jaccard_on_pairs``) remains for callers that bring a pre-built or
     stop-shingle-filtered shingle table. Returns verified
     (id_a, id_b, jaccard) pairs."""
+    # single-split inputs (one-row-group parquet) would otherwise run the
+    # whole signature AND verify-side set computation on one task
+    df = _spread_scan(df, id_col)
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
     cands = lsh_candidate_pairs(sigs, id_col, bands)
     localized = False
@@ -502,16 +555,32 @@ def near_dup_join(
     lb = banded_side(left, id_left, text_left, "__lid", "__ltxt", tuple(left_extra_cols))
     rb = banded_side(right, id_right, text_right, "__rid", "__rtxt")
     cand = lb.join(rb, ["band", "band_hash"])
-    sl = _shingle_set_expr("__ltxt", shingle_n)
-    sr = _shingle_set_expr("__rtxt", shingle_n)
-    inter = F.size(F.array_intersect(sl, sr))
-    union_sz = F.size(sl) + F.size(sr) - inter
+    # stage the shingle sets, then the intersect size, then the score: inlined
+    # into one expression the per-character set computation and the intersect
+    # are each re-evaluated for every reference (3x for the intersect — HOFs
+    # are CodegenFallback, no subexpression elimination). Same values.
+    staged = cand.select(
+        F.col("__lid").alias(id_left),
+        *[F.col(c) for c in left_extra_cols],
+        F.col("__rid").alias(id_right),
+        _shingle_set_expr("__ltxt", shingle_n).alias("__sl"),
+        _shingle_set_expr("__rtxt", shingle_n).alias("__sr"),
+    ).select(
+        id_left,
+        *left_extra_cols,
+        id_right,
+        F.size(F.array_intersect("__sl", "__sr")).alias("__i"),
+        (F.size("__sl") + F.size("__sr")).alias("__sz"),
+    )
+    union_sz = F.col("__sz") - F.col("__i")
     out = (
-        cand.select(
-            F.col("__lid").alias(id_left),
-            *[F.col(c) for c in left_extra_cols],
-            F.col("__rid").alias(id_right),
-            F.when(union_sz == 0, F.lit(0.0)).otherwise(inter / union_sz).alias("jaccard"),
+        staged.select(
+            id_left,
+            *left_extra_cols,
+            id_right,
+            F.when(union_sz == 0, F.lit(0.0))
+            .otherwise(F.col("__i") / union_sz)
+            .alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -757,6 +826,7 @@ def simhash_signatures(
     signature. Near-dup docs differ in few bits (compare with hamming64)."""
     if bits > 32:
         raise ValueError("md5-prefix hash provides 32 bits; bits must be <= 32")
+    df = _spread_scan(df, id_col)
     toks = df.select(
         id_col,
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__tok"),

@@ -48,7 +48,12 @@ def langid_ngram(
     distinct trigrams found in that language's profile; ``lang_pred`` is the
     argmax (ties broken by language-name order, deterministic). Emits
     ``(id, ngram_<lang>... , lang_pred)``."""
+    from .dedup import _spread_scan
+
     profiles = profiles or TRIGRAM_PROFILES
+    # single-split inputs would run the per-character trigram extraction on
+    # one task (see dedup._spread_scan)
+    df = _spread_scan(df, id_col)
     grams = char_trigrams(text_col).alias("__g")
     base = df.select(id_col, grams)
     scores = [
@@ -95,11 +100,23 @@ def curate_corpus(
 
     Emits (id, lang_pred, quality, n_words) for surviving documents.
     """
-    from .dedup import dedup_groups, jaccard_pairs, minhash_dedup
+    from .dedup import _spread_scan, dedup_groups, jaccard_pairs, minhash_dedup
 
+    df = _spread_scan(df, id_col)
     q = quality_score(df, text_col, id_col).select(id_col, "quality", "n_words")
     l = langid_ngram(df, text_col, id_col).select(id_col, "lang_pred")
-    kept = df.join(q, id_col).join(l, id_col).filter(F.col("quality") >= min_quality)
+    # localCheckpoint the SCORED table before the gates: (a) filtering on a
+    # computed column pushes a rewritten predicate below the scan, inlining
+    # the trigram/quality expressions up to 12x per row into a single-task
+    # Filter (measured: the dominant cost of this operator at sf0.1); (b) the
+    # near-dup stage below re-evaluates `kept` four times (candidate probe,
+    # both verify sides, the final survivor join). One materialization of the
+    # scored corpus replaces all of that — the same lineage-cut discipline
+    # connected_components already uses. At 100 TB the checkpoint is one
+    # corpus-sized materialization traded against >=4 recomputations of the
+    # scan + scoring chain.
+    scored = df.join(q, id_col).join(l, id_col).localCheckpoint()
+    kept = scored.filter(F.col("quality") >= min_quality)
     if lang is not None:
         kept = kept.filter(F.col("lang_pred") == lang)
     if dedup_strategy == "lsh":
@@ -171,16 +188,22 @@ def winnow_fingerprints(
     detection: group by fingerprint, pairs sharing ≥ t fingerprints are
     plagiarism/near-copy candidates — same join shape as the shingle
     verifier, ~1/w the rows."""
-    from .dedup import shingle_hash
+    from .dedup import _spread_scan, shingle_hash
 
+    df = _spread_scan(df, id_col)
     t = F.col(text_col)
     pos = F.sequence(F.lit(1), F.greatest(F.length(t) - k + 1, F.lit(1)))
     hashes = F.transform(pos, lambda i: shingle_hash(t.substr(i, F.lit(k))))
-    n_win = F.greatest(F.size(hashes) - w + 1, F.lit(1))
+    # materialize the position-hash array in its OWN projection: embedded
+    # inline in the window lambda below it is re-evaluated per window
+    # position (HOF lambdas re-run their whole body per element — O(L·w)
+    # md5 calls per doc became O(L²) in practice and dominated the query).
+    base = df.select(id_col, hashes.alias("__ph"))
+    n_win = F.greatest(F.size("__ph") - w + 1, F.lit(1))
     wins = F.transform(
         F.sequence(F.lit(1), n_win),
-        lambda i: F.array_min(F.slice(hashes, i, w)),
+        lambda i: F.array_min(F.slice("__ph", i, w)),
     )
-    return df.select(
+    return base.select(
         id_col, F.explode(F.array_distinct(wins)).alias("fingerprint")
     )
