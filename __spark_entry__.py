@@ -66,6 +66,18 @@ def _dsum(col, scale: int = 6):
     return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition a single-split scan to session parallelism before a
+    compute-heavy map/aggregate stage. The driver tables are one-row-group
+    parquet files that scan as ONE task, so partial aggregation and per-row
+    expression work above them is serialized without this (guide §2.5 "input
+    skew"). Keyed on a high-cardinality column ⇒ no sort-before-repartition
+    pass and an even spread; parallelism comes from the session, not a
+    constant. Results are unchanged (content-identical, redistributed)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 def _order_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build side for the as-of queries: unique (user_id, o_orderdate) so the
     as-of answer is engine-independent."""
@@ -183,7 +195,9 @@ def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     `quantile_cont` share the same interpolation definition."""
     from video_features_spark.operators.windows import percentile_agg
 
-    li = _read(spark, sf_dir, "lineitem")
+    # spread the single-split scan: exact percentile buffers every value in
+    # its partial aggregate — parallel buffer building, tiny final merge
+    li = _spread(_read(spark, sf_dir, "lineitem"), "l_orderkey")
     return percentile_agg(
         li, ["l_returnflag"], "l_quantity",
         percentiles=(0.5, 0.95), names=("p50_qty", "p95_qty"),
@@ -218,6 +232,11 @@ def _q_distinct_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to one row per (group, orderkey) — each with map-side partial agg — and
     # the HLL sketch over the DEDUPLICATED keys has the identical registers
     # (duplicates never change an HLL), so the estimate is bit-equal.
+    # repartition on the phase-1 grouping keys: the groupBy reuses this
+    # exchange (same clustering), so the plan still has one shuffle of the
+    # fact table but the aggregation runs parallel instead of on the
+    # single-split scan task (see _spread)
+    li = _spread(li, "l_returnflag", "l_orderkey", "l_linenumber")
     l1 = li.groupBy("l_returnflag", "l_orderkey", "l_linenumber").agg(
         F.count(F.lit(1)).alias("__c")
     )
@@ -241,7 +260,9 @@ def _q_distinct_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _read(spark, sf_dir, "lineitem")
+    # spread the single-split scan so the 8-aggregate decimal partial agg
+    # runs parallel instead of on the scan's one task (see _spread)
+    li = _spread(_read(spark, sf_dir, "lineitem"), "l_orderkey")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -281,7 +302,9 @@ def _q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     one driver-window slot with identical engine coverage: Catalyst's Expand
     node, map-side partial agg, one shuffle). GROUPING_ID disambiguates real
     NULLs from subtotal rows."""
-    orders = _read(spark, sf_dir, "orders")
+    # spread the single-split scan: Expand multiplies rows 4x before the
+    # partial aggregation, all on one task otherwise (see _spread)
+    orders = _spread(_read(spark, sf_dir, "orders"), "o_orderkey")
     orders.createOrReplaceTempView("__gs_orders")
     return spark.sql(
         """
@@ -600,7 +623,7 @@ def _q_image_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("ts_asof"),
         F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x).alias("emb_sq_norm"),
-    )
+    ).cache()  # generate+decode+embed once across the three gates + return
     assert_no_leakage(out, "label_ts", "ts_asof", strict=True)
     _assert_count(out, n // 2, "one output row per label probe")
     _assert_empty(
@@ -618,7 +641,7 @@ def _q_image_caption_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_image_features(imgs, "clip-small-det")
     caps = embed_caption_column(imgs.select("image_id", "caption"), "clip-small-det")
     both = feats.join(caps, "image_id")
-    out = image_text_similarity(both).select("image_id", "img_txt_sim")
+    out = image_text_similarity(both).select("image_id", "img_txt_sim").cache()
     _assert_count(out, n, "one similarity row per image")
     _assert_empty(
         out,
@@ -633,7 +656,7 @@ def _q_image_phash_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     imgs = generate_images(spark, n, n_entities=max(n // 50, 1))
     out = sessionize(imgs, ["phash"], "ts", gap_seconds=3600, tiebreak_col="image_id").select(
         "image_id", "phash", "ts", "session_id"
-    )
+    ).cache()  # generation once across the gates + return
     _assert_count(out, n, "sessionize is row-preserving")
     grp = out.groupBy("phash").agg(
         F.min("session_id").alias("lo"), F.max("session_id").alias("hi"),
@@ -654,7 +677,7 @@ def _q_image_pair_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _n_images(sf_dir)
     n_ent = max(n // 50, 1)
     imgs = generate_images(spark, n, n_entities=n_ent)
-    out = consecutive_pair_features(imgs)
+    out = consecutive_pair_features(imgs).cache()
     _assert_count(out, n - n_ent, "T frames per entity yield T-1 pairs")
     _assert_empty(
         out,
@@ -689,7 +712,7 @@ def _q_image_pair_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_ts",
         F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x).alias("emb_sq_norm"),
         "error",
-    )
+    ).cache()
     _assert_count(out, n - n_ent, "T frames per entity yield T-1 pair embeddings")
     _assert_empty(
         out,
@@ -724,7 +747,7 @@ def _q_image_pair_flow_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("flow").alias("flow_dim"),
         F.aggregate("flow", F.lit(0.0), lambda a, x: a + x * x).alias("flow_sq_norm"),
         "error",
-    )
+    ).cache()  # generation + pairwise flow once: shared by both gates + return
     _assert_count(out, n - n_ent, "T frames per entity yield T-1 flow fields")
     _assert_empty(
         out,
@@ -747,7 +770,10 @@ def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = max(_n_images(sf_dir) // 20, 10)
     n_ent = max(n // 5, 1)
-    vids = generate_videos(spark, n, n_entities=n_ent)
+    # cached (audio_logmel precedent): the invariant actions below plus the
+    # final materialization would otherwise regenerate + JPEG-encode every
+    # clip once per job (generation is the expensive half of this query)
+    vids = generate_videos(spark, n, n_entities=n_ent).cache()
     frames = extract_video_frames(vids)
 
     def stats(batches):
@@ -770,7 +796,7 @@ def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             "video_id string, frame_idx int, frame_ts timestamp, "
             "frame_h int, frame_w int, pix_sum long"
         ),
-    )
+    ).cache()  # demux+decode once: count gate + final materialization share it
     _assert_empty(frames, F.col("error").isNotNull(), "no clip quarantines")
     expected = vids.agg(F.sum("n_frames")).first()[0]
     _assert_count(out, int(expected), "every container frame becomes a row")
@@ -788,7 +814,7 @@ def _q_image_stack_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pooled.select(
         "entity_id", "stack_start_idx", "stack_ts",
         F.aggregate("stack_embedding", F.lit(0.0), lambda a, x: a + x * x).alias("stack_sq_norm"),
-    )
+    ).cache()
     n_ent = max(n // 50, 1)
     per_entity = n // n_ent
     _assert_count(out, n_ent * ((per_entity - 8) // 4 + 1), "complete stacks per entity")
@@ -811,7 +837,7 @@ def _q_image_zero_shot(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = min(_n_images(sf_dir), 500)
     imgs = generate_images(spark, n, n_entities=max(n // 50, 1))
     feats = extract_image_features(imgs, "clip-small-det")
-    full = zero_shot_classify(feats, list(_ZS_CAPTIONS), top_k=3)
+    full = zero_shot_classify(feats, list(_ZS_CAPTIONS), top_k=3).cache()
     _assert_count(full, n * 3, "exactly top_k rows per image")
     _assert_empty(
         full,
@@ -844,7 +870,7 @@ def _q_image_phash_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         strict=True,
         salt_threshold=max(n // 20, 10),  # hot phash buckets get salted
         num_salts=8,
-    )
+    ).cache()  # generate+embed+join once: leakage gate + return share it
     assert_no_leakage(joined, "label_ts", "ts_asof", strict=True)
     return joined.select(
         "image_id", "phash", "label_ts", "ts_asof",
@@ -961,7 +987,7 @@ def _q_image_augmented_fp16(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = feats.select(
         "image_id",
         F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x).alias("emb_sq_norm"),
-    )
+    ).cache()
     _assert_count(out, n, "augmentation is row-preserving")
     _assert_empty(
         out,
@@ -1007,10 +1033,12 @@ def _q_image_checkpoint_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             embed_mod._CHECKPOINTS.pop("clip-small-det", None)
         else:
             embed_mod._CHECKPOINTS["clip-small-det"] = prior
+    # cached: the two invariant actions + the final materialization would
+    # otherwise regenerate + decode + embed the corpus once per job each
     out = feats.select(
         "image_id",
         F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x).alias("emb_sq_norm"),
-    )
+    ).cache()
     _assert_count(out, n, "checkpoint-weight embedding is row-preserving")
     _assert_empty(
         out,
@@ -1161,6 +1189,11 @@ def _q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(ev_schema)
         .parquet(src_dir)
         .select("event_id", "user_id", "ts")
+        # the single-file micro-batch scans as ONE task and the asof join
+        # fans each probe out against its key's whole build history before
+        # the max collapses it — spread the probe side so that fan-out runs
+        # parallel (streaming-legal repartition; content unchanged)
+        .repartition(spark.sparkContext.defaultParallelism, "user_id")
     )
     out = stream_asof_lookup(
         probes,
@@ -1171,14 +1204,26 @@ def _q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         strict=True,
     )
     name = f"qsa_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    # state-store task count follows the session's parallelism instead of the
+    # batch shuffle-partition default: each streaming-agg partition pays a
+    # per-trigger state-store open/commit, pure overhead beyond ~cores for an
+    # availableNow batch this size (restored below; sized from the session,
+    # not a constant)
+    prior_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    q.awaitTermination()
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_sp)
     return spark.table(name).select(
         "event_id",
         "user_id",
@@ -1212,14 +1257,23 @@ def _q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.readStream.schema(ev_schema).parquet(src_dir)
     out = stream_tumbling_agg(ev, ["user_id"], "ts", "1 day")
     name = f"qst_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    # state-store partitions sized from the session, not the batch shuffle
+    # default — see _q_stream_asof (restored below)
+    prior_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    q.awaitTermination()
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior_sp)
     return spark.table(name).select(
         "user_id",
         F.col("win_start").cast("timestamp_ntz").alias("win_start"),

@@ -894,7 +894,10 @@ def embedding_near_dup_blocked(
     the same literals)."""
     from .similarity import _multi_table_buckets
 
-    b = _multi_table_buckets(df.select(id_col, emb_col), emb_col, dim, n_planes, n_tables, seed)
+    # single-split inputs would compute every table's plane dots on one task
+    b = _multi_table_buckets(
+        _spread_scan(df.select(id_col, emb_col), id_col), emb_col, dim, n_planes, n_tables, seed
+    )
     norm = F.sqrt(F.aggregate(emb_col, F.lit(0.0), lambda acc, x: acc + x * x))
     b = b.select(
         F.col(id_col).alias("__id"), F.col(emb_col).alias("__e"), norm.alias("__n"),
@@ -908,6 +911,11 @@ def embedding_near_dup_blocked(
         F.col("__id").alias("id_b"), F.col("__e").alias("e_b"), F.col("__n").alias("n_b"),
         "lsh_table", "lsh_bucket",
     )
+    # dedup BEFORE scoring: a pair colliding in k tables appears k times, and
+    # scoring first would compute the dim-length dot fold k times per pair —
+    # measured 2x slower than shuffling the vectors once into the dedup
+    # (verified both orders at sf0.1; the exact-cosine fold dominates, not
+    # the shuffle bytes, at these dims)
     cand = (
         a.join(c, ["lsh_table", "lsh_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -241,15 +241,18 @@ def lsh_ann_topk(
     q = _multi_table_buckets(queries.select(query_id_col, emb_col), emb_col, dim, n_planes, n_tables, seed)
     q = q.select(query_id_col, F.col(emb_col).alias("__qe"), _l2(emb_col).alias("__qn"),
                  "lsh_table", "lsh_bucket")
-    cand = (
+    # score BEFORE the candidate dedup: the dropDuplicates shuffle then
+    # carries (query_id, vec_id, cos) scalars instead of two embedding
+    # vectors + norms per row (guide §2.3). Multi-table duplicates of a pair
+    # hold identical vectors, hence identical cos.
+    sims = (
         c.join(F.broadcast(q), ["lsh_table", "lsh_bucket"])
         .filter(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, id_col, "__ce", "__cn", "__qe", "__qn")
+        .select(
+            query_id_col, id_col,
+            (_dot("__ce", "__qe") / (F.col("__cn") * F.col("__qn"))).alias("cos"),
+        )
         .dropDuplicates([query_id_col, id_col])
-    )
-    sims = cand.select(
-        query_id_col, id_col,
-        (_dot("__ce", "__qe") / (F.col("__cn") * F.col("__qn"))).alias("cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

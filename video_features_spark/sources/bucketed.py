@@ -36,6 +36,12 @@ def write_bucketed(
     sort by (key, ts) means the window pass needs neither exchange nor a full
     sort of cold data. ``path`` makes it an external table (tests point this
     at a tmp dir; production points at the warehouse/object store)."""
+    # one file per bucket: without this, EVERY input task writes its own file
+    # per bucket it touches (tasks × buckets small files — guide §6), and a
+    # single-split input writes all buckets from one task, serially. Hash
+    # distribution by the bucket key matches the bucket assignment, so each
+    # task holds whole buckets and the write parallelism is num_buckets.
+    df = df.repartition(num_buckets, *[df[c] for c in bucket_cols])
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)

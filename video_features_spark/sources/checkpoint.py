@@ -144,9 +144,15 @@ def checkpointed_write(
     prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        # materialize once: write data, then derive manifest rows from what landed
+        # materialize once: write data, then derive manifest rows from what landed.
+        # Repartition ON THE PART ID first: a narrow input (e.g. a single-split
+        # scan) would otherwise write all ``num_parts`` partition dirs from one
+        # task, serially; hash-distributing by the part id gives ~num_parts
+        # parallel writers and exactly one file per partition dir (guide §6
+        # output sizing — same rows land in the same dirs either way).
         (
-            todo.write.mode("overwrite")
+            todo.repartition(num_parts, F.col(PART_COL))
+            .write.mode("overwrite")
             .partitionBy(PART_COL)
             .parquet(_data_path(base_path))
         )
@@ -167,12 +173,19 @@ def checkpointed_write(
         )
         .withColumn("snapshot_id", F.lit(snapshot_id))
         .withColumn("manifest_seq", F.lit(seq))
+        # cached: the append below and the stats aggregate would otherwise
+        # each re-scan + re-checksum the data partitions (one extra full
+        # read of the base per write call)
+        .cache()
     )
-    manifest_rows.write.mode("append").parquet(_resolve_manifest_dir(base_path))
+    try:
+        manifest_rows.write.mode("append").parquet(_resolve_manifest_dir(base_path))
 
-    done_now = manifest_rows.agg(
-        F.count(F.lit(1)).alias("p"), F.sum("row_count").alias("r")
-    ).first()
+        done_now = manifest_rows.agg(
+            F.count(F.lit(1)).alias("p"), F.sum("row_count").alias("r")
+        ).first()
+    finally:
+        manifest_rows.unpersist()
     stats["parts_written"] = done_now["p"] or 0
     stats["rows_written"] = done_now["r"] or 0
     return stats
