@@ -67,15 +67,28 @@ def extract_image_features(
     schema_id = ", ".join(f"`{c}` {df.schema[c].dataType.simpleString()}" for c in id_cols)
     out_schema = f"{schema_id}, embedding array<float>, error string"
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for b in batches:
-            n = len(b)
+    # mapInArrow, not mapInPandas (guide §4.2): the kernel work per 2048-row
+    # batch is ~0.5 s, and the pandas round-trip around it (arrow→pandas with
+    # a bytes copy per cell, per-row iloc, float32→python-list boxing of every
+    # embedding, pandas→arrow re-inference) measured ~20-30% on top. Arrow in,
+    # arrow out: id columns pass through zero-copy, embeddings leave as ONE
+    # flat float32 buffer + offsets. Values are bit-identical (tolist widened
+    # float32→double and the sink narrowed it back — identity round trip).
+    def run(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            by_name = {nm: rb.column(i) for i, nm in enumerate(rb.schema.names)}
+            blobs = by_name[bytes_col].to_pylist()
+            fmts = by_name[fmt_col].to_pylist()
+            keys = by_name[id_cols[0]].to_pylist() if augment_seed is not None else None
             errors: list[str | None] = [None] * n
             images: list[np.ndarray | None] = [None] * n
             for i in range(n):
                 try:
-                    img = decode_image(bytes(b[bytes_col].iloc[i]), b[fmt_col].iloc[i])
-                    if check_psnr and b[fmt_col].iloc[i] != "png":
+                    img = decode_image(blobs[i], fmts[i])
+                    if check_psnr and fmts[i] != "png":
                         # lossy invariant: decode(encode(decode(x))) within 40dB
                         from ..functions.codec import decode_qjpg, encode_qjpg
 
@@ -86,25 +99,38 @@ def extract_image_features(
                         from ..functions.preprocess import augment_deterministic
                         import zlib
 
-                        key = zlib.crc32(str(b[id_cols[0]].iloc[i]).encode()) ^ augment_seed
+                        key = zlib.crc32(str(keys[i]).encode()) ^ augment_seed
                         img = augment_deterministic(img, key)
                     images[i] = img
                 except Exception as e:  # noqa: BLE001 - quarantine, don't die
                     errors[i] = f"{type(e).__name__}: {e}"
             ok_idx = [i for i in range(n) if images[i] is not None]
-            emb_col: list[list[float] | None] = [None] * n
-            if ok_idx:
-                embs = preprocess_and_embed(
+            embs = (
+                preprocess_and_embed(
                     [images[i] for i in ok_idx], model_name, ckpt, precision
                 )
+                if ok_idx
+                else np.empty((0, 0), np.float32)
+            )
+            if len(ok_idx) == n and n:
+                # fast path (the normal case: no quarantines): one offsets
+                # array over the flat float32 buffer, no per-row boxing
+                offsets = pa.array(
+                    np.arange(0, (n + 1) * embs.shape[1], embs.shape[1], dtype=np.int32)
+                )
+                emb_arr = pa.ListArray.from_arrays(offsets, pa.array(embs.ravel()))
+            else:
+                emb_list: list[list[float] | None] = [None] * n
                 for j, i in enumerate(ok_idx):
-                    emb_col[i] = embs[j].tolist()
-            out = b[id_cols].copy()
-            out["embedding"] = emb_col
-            out["error"] = errors
-            yield out
+                    emb_list[i] = embs[j].tolist()
+                emb_arr = pa.array(emb_list, type=pa.list_(pa.float32()))
+            err_arr = pa.array(errors, type=pa.string())
+            yield pa.RecordBatch.from_arrays(
+                [by_name[c] for c in id_cols] + [emb_arr, err_arr],
+                names=id_cols + ["embedding", "error"],
+            )
 
-    return df.select(*cols).mapInPandas(run, schema=out_schema)
+    return df.select(*cols).mapInArrow(run, schema=out_schema)
 
 
 def embed_caption_column(
