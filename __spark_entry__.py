@@ -195,9 +195,7 @@ def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     `quantile_cont` share the same interpolation definition."""
     from video_features_spark.operators.windows import percentile_agg
 
-    # spread the single-split scan: exact percentile buffers every value in
-    # its partial aggregate — parallel buffer building, tiny final merge
-    li = _spread(_read(spark, sf_dir, "lineitem"), "l_orderkey")
+    li = _read(spark, sf_dir, "lineitem")
     return percentile_agg(
         li, ["l_returnflag"], "l_quantity",
         percentiles=(0.5, 0.95), names=("p50_qty", "p95_qty"),
@@ -302,9 +300,7 @@ def _q_grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     one driver-window slot with identical engine coverage: Catalyst's Expand
     node, map-side partial agg, one shuffle). GROUPING_ID disambiguates real
     NULLs from subtotal rows."""
-    # spread the single-split scan: Expand multiplies rows 4x before the
-    # partial aggregation, all on one task otherwise (see _spread)
-    orders = _spread(_read(spark, sf_dir, "orders"), "o_orderkey")
+    orders = _read(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("__gs_orders")
     return spark.sql(
         """

@@ -35,6 +35,43 @@ def run_side(cores: int, images: int, reps: int) -> dict:
     )
 
 
+def _triad_worker(_):
+    os.environ["OMP_NUM_THREADS"] = "1"
+    import numpy as np
+    import time as _t
+
+    a = np.ones(8_000_000, np.float64)
+    b = np.ones(8_000_000, np.float64)
+    c = np.empty_like(a)
+    t0 = _t.time()
+    n = 0
+    while _t.time() - t0 < 1.0:
+        np.add(a, b, out=c)
+        c *= 0.5
+        n += 1
+    return n
+
+
+def bandwidth_ratio() -> "float | None":
+    """STREAM-triad-shaped co-tenant probe (r6 verdict: the compute probe is
+    L1-resident and misses bandwidth-shaped co-tenants — necessary, not
+    sufficient). Aggregate 64 MB-array triad throughput of CPUS workers over
+    CORES_LO workers. The socket's bandwidth saturates well below 32 workers
+    even idle, so the clean-window value is LOW (~1.1-1.5, unlike the
+    compute probe's ~4); it is LOGGED as evidence labeling each capture's
+    window, not used as a gate, until enough samples pin the clean band."""
+    import multiprocessing as mp
+
+    try:
+        with mp.Pool(bench.CPUS) as p:
+            r_lo = sum(p.map(_triad_worker, range(bench.CORES_LO)))
+        with mp.Pool(bench.CPUS) as p:
+            r_hi = sum(p.map(_triad_worker, range(bench.CPUS)))
+        return round(r_hi / r_lo, 2) if r_lo else None
+    except Exception:  # noqa: BLE001 - evidence, never a blocker
+        return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--threshold", type=float, default=3.5)
@@ -51,7 +88,13 @@ def main() -> None:
     # and the same fixed cost is <7%. The sidecar has the session's minutes
     # to spend; bench.py adopts any capture with images >= SCALE_IMAGES.
     ap.add_argument("--images", type=int, default=3 * bench.SCALE_IMAGES)
-    ap.add_argument("--reps", type=int, default=2)
+    # one rep per side (was 2): r6's ten probe-clean fires all produced
+    # sub-floor lo sides because the ~5-minute probe-to-lo-end interval
+    # outlived every window. A single rep ends the lo side ~2 minutes after
+    # the probe — the verdict's "lo and hi must sample the same window"
+    # geometry — and the lo floor + the mid/post probes still reject any
+    # capture whose window closed mid-pair.
+    ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--max-minutes", type=float, default=240)
     ap.add_argument("--interval-sec", type=float, default=150)
     ap.add_argument("--log", default="/tmp/scale_hunt.jsonl")
@@ -79,8 +122,15 @@ def main() -> None:
         hr = bench.host_ratio()
         rec: dict = {"ts": round(time.time() - t0, 1), "host_ratio": hr}
         if hr is not None and hr >= args.threshold:
+            rec["bw_ratio"] = bandwidth_ratio()
             try:
+                # lo FIRST, immediately after the clean probe: the lo side is
+                # the efficiency DENOMINATOR and the only side whose
+                # degradation can inflate the ratio (a degraded hi only
+                # understates); a mid-probe between the sides labels whether
+                # the window survived into the hi side
                 lo = run_side(bench.CORES_LO, args.images, args.reps)
+                rec["host_ratio_mid"] = bench.host_ratio()
                 hi = run_side(bench.CPUS, args.images, args.reps)
                 hr_post = bench.host_ratio()
                 eff = hi["images_per_sec"] / (
