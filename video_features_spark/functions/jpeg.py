@@ -468,7 +468,10 @@ def _ac_refine_block(reader, act_t, coef, ss, se, al, eobrun):
             while k <= se:
                 c = int(coef[k])
                 if c:
-                    if reader.read_bit() and not (abs(c) & p1):
+                    # two's-complement check like libjpeg (r6 advice): agrees
+                    # with abs() on every valid stream, diverges only on
+                    # corrupt data
+                    if reader.read_bit() and not (c & p1):
                         coef[k] = c + (p1 if c > 0 else -p1)
                 else:
                     if r == 0:
@@ -482,7 +485,7 @@ def _ac_refine_block(reader, act_t, coef, ss, se, al, eobrun):
         # remainder of the band: correction bits only
         while k <= se:
             c = int(coef[k])
-            if c and reader.read_bit() and not (abs(c) & p1):
+            if c and reader.read_bit() and not (c & p1):
                 coef[k] = c + (p1 if c > 0 else -p1)
             k += 1
         eobrun -= 1

@@ -47,8 +47,10 @@ def encode_wav(samples: np.ndarray, sample_rate: int = SAMPLE_RATE) -> bytes:
         data = np.ascontiguousarray(x, dtype="<f4").tobytes()
     elif x.dtype == np.int32:
         fmt_code, width = 1, 3
-        if int(np.abs(x).max(initial=0)) >= 1 << 23:
-            raise ValueError("PCM24 samples must fit in ±2^23")
+        # asymmetric range check: -2^23 is a legal 24-bit sample (r6 advice —
+        # abs() rejected the most-negative representable value)
+        if int(x.max(initial=0)) >= 1 << 23 or int(x.min(initial=0)) < -(1 << 23):
+            raise ValueError("PCM24 samples must fit in [-2^23, 2^23)")
         b4 = np.ascontiguousarray(x, dtype="<i4").view(np.uint8).reshape(-1, 4)
         data = np.ascontiguousarray(b4[:, :3]).tobytes()  # low 3 LE bytes
     else:

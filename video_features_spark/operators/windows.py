@@ -195,6 +195,9 @@ def sliding_stacks(
     # rationale): Spark evaluates the frame in sorted order but DuckDB's
     # segment-tree windowed sums do not, so a float frame-sum can differ in
     # its last ulp between engines; decimal addition is associative/exact.
+    # NOTE (documented semantics, r6 advice): "avg" divides by the FRAME ROW
+    # COUNT (count(*)), not the non-null count — it differs from F.avg when
+    # value_col contains nulls. The oracle pins the same definition.
     aggs = {
         "count": lambda c, w: F.count(c).over(w),
         "sum": lambda c, w: F.sum(c.cast("decimal(18,6)")).over(w).cast("double"),
