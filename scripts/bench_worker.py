@@ -250,17 +250,24 @@ def timed_run(args) -> None:
 # a bounded retry budget, cheapest inflated query first (most rescues per
 # retry second). The artifact ships the min AND lists every retried query with
 # both timings, so a degraded-window run is labeled rather than argued about.
+# Ceilings re-pinned r7 (the r6 verdict's "re-pin the per-query clean-window
+# bands" item): the optimization round moved the clean cold bands to roughly
+# curate 10-12 s, dedup_groups 8.5-10, minhash 5.5-6.6, video_frames 2.6-3.6,
+# stream_asof 4-5, image_checkpoint_weights 1.4-2.1 (driver-methodology
+# samples in OPTIMIZATION_r07.md). Ceilings sit ~1.7-2x above the band so a
+# degraded-window first timing triggers the bounded retry (both timings
+# always ship in queries_retried); the r6 values would have let a 2x-degraded
+# run pass unretried at the new speeds.
 QUERY_RETRY_CEILING = {
-    "curate_corpus": 34.0,
-    "dedup_groups": 26.0,
-    "minhash_lsh_dedup": 17.0,
-    "video_frames": 11.0,
-    "stream_tumbling": 12.0,
+    "curate_corpus": 20.0,
+    "dedup_groups": 16.0,
+    "minhash_lsh_dedup": 11.0,
+    "video_frames": 8.0,
+    "stream_tumbling": 6.0,
     "stream_asof": 8.0,
-    "checkpoint_resume": 8.0,
-    "embedding_near_dup_blocked": 8.0,
-    "image_checkpoint_weights": 8.0,
-    "langid_ngram": 7.0,
+    "checkpoint_resume": 9.0,
+    "embedding_near_dup_blocked": 7.0,
+    "image_checkpoint_weights": 6.0,
     "bucketed_join": 7.0,
 }
 DEFAULT_RETRY_CEILING = float(os.environ.get("BENCH_QUERY_RETRY_CEILING", "6.0"))

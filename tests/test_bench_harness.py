@@ -106,12 +106,12 @@ def test_retry_plan_targets_only_over_ceiling(bench_worker):
     # rescues the most entries
     qtimes = {
         "tpch_q1": 0.7,                   # default ceiling, clean
-        "video_frames": 29.3,             # ceiling 11: the r5 degraded capture
+        "video_frames": 29.3,             # ceiling 8 (r7 band): degraded
         "stream_asof": 13.5,              # ceiling 8
-        "curate_corpus": 27.4,            # ceiling 34: inside its band
+        "curate_corpus": 15.4,            # ceiling 20 (r7 band): inside it
     }
     assert bench_worker.retry_plan(qtimes) == ["stream_asof", "video_frames"]
-    assert bench_worker.retry_plan({"tpch_q1": 0.7, "curate_corpus": 27.0}) == []
+    assert bench_worker.retry_plan({"tpch_q1": 0.7, "curate_corpus": 15.0}) == []
 
 
 def test_retry_plan_budget_bound(bench_worker):
