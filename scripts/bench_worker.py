@@ -257,12 +257,16 @@ def timed_run(args) -> None:
 # samples in OPTIMIZATION_r07.md). Ceilings sit ~1.7-2x above the band so a
 # degraded-window first timing triggers the bounded retry (both timings
 # always ship in queries_retried); the r6 values would have let a 2x-degraded
-# run pass unretried at the new speeds.
+# run pass unretried at the new speeds. Tightened again after two more
+# fresh-sandbox samples: a degraded run shipped curate 17.4 (band 10-12) and
+# video_frames 7.35 (band 2.6-5.8) just under the first-pass ceilings, and
+# caption_bpe spiked to 5.0 (band 0.9-1.5) under the old 6.0 default — no
+# unlisted query's clean cold timing has been observed above 3.8.
 QUERY_RETRY_CEILING = {
-    "curate_corpus": 20.0,
+    "curate_corpus": 16.0,
     "dedup_groups": 16.0,
     "minhash_lsh_dedup": 11.0,
-    "video_frames": 8.0,
+    "video_frames": 6.5,
     "stream_tumbling": 6.0,
     "stream_asof": 8.0,
     "checkpoint_resume": 9.0,
@@ -270,7 +274,7 @@ QUERY_RETRY_CEILING = {
     "image_checkpoint_weights": 6.0,
     "bucketed_join": 7.0,
 }
-DEFAULT_RETRY_CEILING = float(os.environ.get("BENCH_QUERY_RETRY_CEILING", "6.0"))
+DEFAULT_RETRY_CEILING = float(os.environ.get("BENCH_QUERY_RETRY_CEILING", "4.5"))
 RETRY_BUDGET_SEC = float(os.environ.get("BENCH_QUERY_RETRY_BUDGET", "75.0"))
 
 
